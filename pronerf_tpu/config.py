@@ -1,0 +1,148 @@
+"""Configuration: one dataclass covering the reference's ~50 configargparse
+flags, plus a parser for its ``key = value`` config-file format (the three
+release fern configs must load verbatim, including the ``mmnetskips = [1000]``
+list syntax). Reference flag surface: ``run_S_eS_eN_alter_base.py:31-164``,
+TRT driver additions (``use_trt``, ``export_only``, engine paths,
+``max_images``), stage-2 addition ``pretrain_path``.
+"""
+
+from __future__ import annotations
+
+import ast
+import dataclasses
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import List, Optional
+
+
+@dataclass
+class Config:
+    # experiment / paths
+    config: Optional[str] = None
+    expname: str = "experiment"
+    basedir: str = "./logs_epi_RR/"
+    datadir: str = "./data/llff/fern"
+    # network sizes
+    netdepth: int = 8
+    netwidth: int = 256
+    netskips: List[int] = field(default_factory=lambda: [4])
+    mmnetdepth: int = 8
+    mmnetwidth: int = 256
+    mmnetskips: List[int] = field(default_factory=lambda: [4])
+    netdepth_fine: int = 8
+    netwidth_fine: int = 256
+    # loss weights
+    a_mmrgb: float = 0.0
+    a_p: float = 0.0
+    a_mmdisp: float = 0.0
+    # optimization
+    N_rand: int = 32 * 32 * 4
+    lrate: float = 5e-4
+    weight_decay: float = 0.0
+    lrate_decay: int = 250
+    chunk: int = 1024 * 32
+    netchunk: int = 1024 * 64
+    no_batching: bool = False
+    full_image: bool = False
+    no_reload: bool = False
+    ft_path: Optional[str] = None
+    pretrain_path: Optional[str] = None
+    # sampling
+    num_neighbor: int = 4
+    N_samples: int = 64
+    N_importance: int = 0
+    N_point_ray_enc: int = 32
+    k_ref: int = 4
+    rand_crop_size: int = 100
+    mm_emb: bool = False
+    epi_nerf: bool = False
+    perturb: float = 1.0
+    use_viewdirs: bool = False
+    i_embed: int = 0
+    multires: int = 10
+    multires_views: int = 4
+    raw_noise_std: float = 0.0
+    # rendering
+    render_only: bool = False
+    render_test: bool = False
+    render_factor: int = 0
+    precrop_iters: int = 0
+    precrop_frac: float = 0.5
+    # dataset
+    dataset_type: str = "llff"
+    white_bkgd: bool = False
+    factor: int = 8
+    no_ndc: bool = False
+    lindisp: bool = False
+    spherify: bool = False
+    llffhold: int = 8
+    test_frames: List[int] = field(default_factory=lambda: [3, 11])
+    # logging
+    i_print: int = 5000
+    i_img: int = 10000
+    i_weights: int = 10000
+    i_testset: int = 10000
+    i_video: int = 10000
+    max_steps: Optional[int] = None
+    # inference / export (TRT-driver surface; engines become XLA AOT here)
+    use_trt: bool = False
+    export_only: bool = False
+    nerf_engine_path: Optional[str] = None
+    mm_engine_path: Optional[str] = None
+    refine_engine_path: Optional[str] = None
+    max_images: Optional[int] = None
+    # TPU-native extensions (not in the reference)
+    compute_dtype: Optional[str] = None  # 'bfloat16' inference fast path
+    tile_rays: int = 8192                # full-frame render tile size
+    seed: int = 0
+
+    @classmethod
+    def field_names(cls):
+        return [f.name for f in dataclasses.fields(cls)]
+
+    @classmethod
+    def from_file(cls, path, **overrides) -> "Config":
+        cfg = cls()
+        values = parse_config_file(path)
+        for key, raw in values.items():
+            if key not in cls.field_names():
+                raise KeyError(f"Unknown config key {key!r} in {path}")
+            setattr(cfg, key, _coerce(cls, key, raw))
+        cfg.config = str(path)
+        for key, val in overrides.items():
+            if val is not None:
+                setattr(cfg, key, val)
+        return cfg
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def parse_config_file(path) -> dict:
+    """Parse ``key = value`` lines; '#' starts a comment; blank lines skipped."""
+    values = {}
+    for raw_line in Path(path).read_text().splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        if not line:
+            continue
+        if "=" not in line:
+            raise ValueError(f"Malformed config line: {raw_line!r}")
+        key, value = line.split("=", 1)
+        values[key.strip()] = value.strip()
+    return values
+
+
+def _coerce(cls, key: str, raw: str):
+    ftype = {f.name: f.type for f in dataclasses.fields(cls)}[key]
+    ftype = str(ftype)
+    if "List[int]" in ftype:
+        if raw.startswith("["):
+            return list(ast.literal_eval(raw))
+        return [int(v) for v in raw.split()]
+    if "bool" in ftype:
+        return raw.lower() in ("true", "1", "yes")
+    if "int" in ftype:
+        return int(float(raw))
+    if "float" in ftype:
+        return float(raw)
+    return raw

@@ -1,0 +1,327 @@
+"""The full ProNeRF render pipeline as ONE pure, shape-static function.
+
+Pipeline per ray batch (SURVEY.md §3.1):
+  1. Pluecker-encode 48 fixed NDC points -> sampler MLP -> 8 candidate depths
+     (sigmoid into [near, far]) + density corrections + auxiliary RGB;
+  2. sort depths (payload-gathering the corrections), map NDC depth to 3D;
+  3. select per-ray neighbor source views, project the 8 candidates into them
+     (epipolar warp, always non-differentiable), mean-fill invalid colors;
+  4. refine MLP on [Pluecker(8 pts) || warped colors] -> refined depths
+     (constrained to per-sample bins), 3D point offsets, auxiliary RGB;
+  5. branch-specific sample surgery (stage-1 exploration expansion, stage-2
+     jitter, learned offsets);
+  6. NeRF MLP on positionally-encoded points/dirs -> alpha compositing with
+     the sampler's density corrections folded in when enabled.
+
+All data-dependent behavior of the reference (n_mult sample multiplication,
+direction coins, neighbor subsets) enters as traced scalars/arrays so a
+single XLA graph per (stage, branch) covers every step. Gradation gating
+(`torch.no_grad`) becomes `jax.lax.stop_gradient`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from pronerf_tpu.models.mlp import (
+    init_minmax_mlp,
+    init_nerf_mlp,
+    minmax_mlp_apply,
+    nerf_mlp_apply,
+)
+from pronerf_tpu.ops.composite import composite
+from pronerf_tpu.ops.encoding import plucker, posenc_dim, positional_encoding
+from pronerf_tpu.ops.rays import linspace_depths, ray_points
+from pronerf_tpu.ops.sampling import (
+    bin_constrain,
+    explore_expand,
+    gap_jitter,
+    ndc_to_3d_depth,
+    sort_with_payloads,
+)
+from pronerf_tpu.ops.warp import epipolar_colors, mean_fill_invalid
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderStatics:
+    """Hashable compile-time configuration of one render graph.
+
+    Factory helpers below derive the reference's (stage, branch) behavior
+    matrix; every epsilon that differs between stages is explicit.
+    """
+
+    N_samples: int = 8
+    N_point_ray_enc: int = 48
+    num_neighbor: int = 4
+    multires: int = 10
+    multires_views: int = 4
+    netskips: tuple = (4,)
+    mmnetskips: tuple = ()
+    near: float = 1e-6
+    far: float = 1.0
+    ndc_eps: float = 1e-6           # NDC->3D depth epsilon (1e-6 s1, 1e-5 s2)
+    epi_layout: str = "svc"          # refine-input color order: s1 [s,v,c], s2 [v,s,c]
+    randomize: bool = True           # training-style neighbor choice + noise
+    stop_sampler_grad: bool = False  # stage-1 NeRF branch: sampler/refine frozen
+    explore: bool = False            # stage-1 NeRF branch sample multiplication
+    jitter: bool = False             # stage-2 single-sided jitter
+    add_offsets: bool = True         # +1e-2 * tanh offsets on query points
+    use_mm: bool = True              # density corrections in compositing
+    clamp_raw: bool = False          # stage-1 +-10 raw clamp
+    noise_std: float = 0.0           # sigma noise std (stage-dependent)
+    white_bkgd: bool = False
+    max_expand: int = 64
+    offset_scale: float = 1e-2
+    compute_dtype: Optional[str] = None  # 'bfloat16' for the inference path
+
+    # -- factories reproducing the reference's behavior matrix ------------
+    @staticmethod
+    def stage1_nerf(randomize=True, noise_std=1.0, **kw) -> "RenderStatics":
+        """Stage-1 odd steps: train the NeRF with exploration; sampler and
+        refine nets run frozen, density corrections OFF
+        (``run_S_eS_eN_alter_base.py:929-940``)."""
+        return RenderStatics(
+            near=1e-6, ndc_eps=1e-6, epi_layout="svc", randomize=randomize,
+            stop_sampler_grad=True, explore=randomize, add_offsets=False,
+            use_mm=False, clamp_raw=True,
+            noise_std=noise_std if randomize else 0.0, **kw,
+        )
+
+    @staticmethod
+    def stage1_sampler(randomize=True, **kw) -> "RenderStatics":
+        """Stage-1 even steps (and stage-1 eval with randomize=False): all
+        nets live, offsets on, density corrections in compositing, no noise
+        (``run_S_eS_eN_alter_base.py:941-958``)."""
+        return RenderStatics(
+            near=1e-6, ndc_eps=1e-6, epi_layout="svc", randomize=randomize,
+            stop_sampler_grad=False, explore=False, add_offsets=True,
+            use_mm=True, clamp_raw=True, noise_std=0.0, **kw,
+        )
+
+    @staticmethod
+    def stage2(randomize=True, noise_std=1.0, **kw) -> "RenderStatics":
+        """Stage-2 joint training / eval: near=0, eps=1e-5, [v,s,c] feature
+        layout, jitter+noise only while training, no raw clamp
+        (``run_S_eS_eN_alter_base_refine2.py:525-680``)."""
+        return RenderStatics(
+            near=0.0, ndc_eps=1e-5, epi_layout="vsc", randomize=randomize,
+            stop_sampler_grad=False, explore=False, jitter=randomize,
+            add_offsets=True, use_mm=True, clamp_raw=False,
+            noise_std=noise_std if randomize else 0.0, **kw,
+        )
+
+    @staticmethod
+    def infer(compute_dtype: Optional[str] = None, **kw) -> "RenderStatics":
+        """Deterministic inference (the reference's TRT-path semantics,
+        ``run_S_eS_eN_alter_trt.py:599-696``), optionally in bfloat16."""
+        return RenderStatics(
+            near=0.0, ndc_eps=1e-5, epi_layout="vsc", randomize=False,
+            stop_sampler_grad=False, explore=False, jitter=False,
+            add_offsets=True, use_mm=True, clamp_raw=False, noise_std=0.0,
+            compute_dtype=compute_dtype, **kw,
+        )
+
+
+def init_pronerf_params(
+    key,
+    *,
+    netdepth: int = 8,
+    netwidth: int = 256,
+    mmnetdepth: int = 6,
+    mmnetwidth: int = 256,
+    N_samples: int = 8,
+    N_point_ray_enc: int = 48,
+    num_neighbor: int = 4,
+    multires: int = 10,
+    multires_views: int = 4,
+    netskips=(4,),
+    mmnetskips=(),
+    dtype=jnp.float32,
+) -> Dict[str, Any]:
+    """Initialize the three-net parameter pytree.
+
+    Head widths follow the reference: sampler in=6*48=288 out=3*S+3=27;
+    refine in=6*S + 3*V*S=144 out=4*S+3=35
+    (``run_S_eS_eN_alter_base.py:394-418``).
+    """
+    k1, k2, k3 = jax.random.split(key, 3)
+    input_ch = posenc_dim(3, multires)
+    input_ch_views = posenc_dim(3, multires_views)
+    return {
+        "nerf": init_nerf_mlp(
+            k1, netdepth, netwidth, input_ch, input_ch_views, tuple(netskips), dtype
+        ),
+        "sampler": init_minmax_mlp(
+            k2, mmnetdepth, mmnetwidth, 6 * N_point_ray_enc,
+            3 * N_samples + 3, tuple(mmnetskips), dtype,
+        ),
+        "refine": init_minmax_mlp(
+            k3, mmnetdepth, mmnetwidth,
+            6 * N_samples + 3 * num_neighbor * N_samples,
+            4 * N_samples + 3, tuple(mmnetskips), dtype,
+        ),
+    }
+
+
+def _select_neighbors(statics, rays, scene, controls):
+    """Per-ray neighbor source-view ids.
+
+    Training: per-ray sorted-by-camera-distance list excluding the ray's own
+    view, indexed by a host-drawn random position subset (shared across the
+    batch, ``run_S_eS_eN_alter_base.py:629-634``). Eval: the num_neighbor
+    nearest training views to the target pose.
+    """
+    poses_t = scene["poses_t"]  # [T, 3] training-pose translations
+    if statics.randomize:
+        target_t = poses_t[rays["pose_id"]]  # [N, 3]
+        dist = jnp.linalg.norm(target_t[:, None, :] - poses_t[None], axis=-1)
+        order = jnp.argsort(dist, axis=-1)  # [N, T]; order[:, 0] == self
+        candidates = order[:, 1:]
+        return jnp.take_along_axis(
+            candidates,
+            jnp.broadcast_to(
+                controls["neighbor_subset"][None, :], (dist.shape[0],
+                                                       statics.num_neighbor)
+            ),
+            axis=-1,
+        )
+    dist = jnp.linalg.norm(controls["target_t"][None, :] - poses_t, axis=-1)
+    nearest = jnp.argsort(dist)[: statics.num_neighbor]
+    n = rays["ndc_o"].shape[0]
+    return jnp.broadcast_to(nearest[None, :], (n, statics.num_neighbor))
+
+
+def render_rays(params, rays, scene, controls, statics: RenderStatics):
+    """Render a batch of rays end to end.
+
+    Args:
+      params: {'nerf', 'sampler', 'refine'} parameter pytree.
+      rays: dict of [N, ...] arrays: ndc_o, ndc_d, viewdirs (unit world
+        dirs), or_o, or_d (original camera-space rays for warping), and
+        pose_id ([N] int32 train-view id; only used when randomize).
+      scene: dict: images [T, H, W, 3], fused_mats [T, 3, 4], K [3, 3],
+        poses_t [T, 3].
+      controls: dict of traced scalars/arrays: rng (PRNGKey), n_mult (int32),
+        dir_expand, dir_jitter (bool), neighbor_subset [V] int32 (training),
+        target_t [3] (eval).
+      statics: RenderStatics (hashable; use as a jit static argument).
+
+    Returns: dict with rgb0 (refine aux rgb), rgb1 (composited NeRF rgb),
+      depth, disp, acc, mm_rgb, depth0, weights, sigma.
+    """
+    S = statics.N_samples
+    near, far = statics.near, statics.far
+    cdt = jnp.bfloat16 if statics.compute_dtype == "bfloat16" else None
+
+    ndc_o, ndc_d = rays["ndc_o"], rays["ndc_d"]
+    n_rays = ndc_o.shape[0]
+
+    # 1. Sampler: Pluecker signature of 48 fixed NDC points.
+    sig_depths = linspace_depths(0.0, 1.0, statics.N_point_ray_enc, ndc_o.dtype)
+    sig_pts = ray_points(ndc_o, ndc_d, jnp.broadcast_to(sig_depths, (n_rays, statics.N_point_ray_enc)))
+    sampler_in = plucker(sig_pts, ndc_d[:, None, :]).reshape(n_rays, -1)
+    mm_out = minmax_mlp_apply(
+        params["sampler"], sampler_in, statics.mmnetskips, cdt
+    )
+    if statics.stop_sampler_grad:
+        mm_out = jax.lax.stop_gradient(mm_out)
+    mm_rgb = jax.nn.sigmoid(mm_out[:, 3 * S:])
+    mm_add = mm_out[:, S: 2 * S]
+    mm_mul = mm_out[:, 2 * S: 3 * S]
+    depth_values = jax.nn.sigmoid(mm_out[:, :S]) * (far - near) + near
+
+    # 2. Sort depths; carry the density corrections along.
+    depth_values, mm_add, mm_mul = sort_with_payloads(depth_values, mm_add, mm_mul)
+    z3d = ndc_to_3d_depth(depth_values, statics.ndc_eps)
+
+    # 3. Epipolar color features from per-ray neighbor views (never
+    # differentiated — the reference wraps this whole block in no_grad).
+    view_idx = _select_neighbors(statics, rays, scene, controls)
+    colors = epipolar_colors(
+        scene["images"], scene["fused_mats"], scene["K"], view_idx,
+        rays["or_o"], rays["or_d"], jax.lax.stop_gradient(z3d),
+    )  # [N, V, S, 3]
+    colors = mean_fill_invalid(colors)
+    colors = jax.lax.stop_gradient(colors)
+    if statics.epi_layout == "svc":
+        epi_flat = jnp.swapaxes(colors, 1, 2).reshape(n_rays, -1)  # [N, S*V*3]
+    else:
+        epi_flat = colors.reshape(n_rays, -1)  # [N, V*S*3]
+
+    # 4. Refine net on [Pluecker(candidates) || warped colors].
+    epi_pts = ray_points(ndc_o, ndc_d, depth_values)
+    plk = plucker(epi_pts, ndc_d[:, None, :]).reshape(n_rays, -1)
+    refine_out = minmax_mlp_apply(
+        params["refine"],
+        jnp.concatenate([plk, epi_flat], axis=-1),
+        statics.mmnetskips,
+        cdt,
+    )
+    if statics.stop_sampler_grad:
+        refine_out = jax.lax.stop_gradient(refine_out)
+    refine_sig = jax.nn.sigmoid(refine_out[:, :S])
+    refine_rgb = jax.nn.sigmoid(refine_out[:, 4 * S:])
+    points_offset = jnp.tanh(refine_out[:, S: 4 * S]).reshape(n_rays, S, 3)
+
+    # 5. Bin-constrained refined depths + branch-specific surgery.
+    z_vals = bin_constrain(depth_values, refine_sig, near, far)
+    num_valid = None
+    noise_key, jitter_key = jax.random.split(controls["rng"])
+    if statics.explore:
+        z_vals, num_valid = explore_expand(
+            z_vals, controls["n_mult"], controls["dir_expand"], near, far,
+            statics.max_expand,
+        )
+        jittered = gap_jitter(
+            jitter_key, z_vals, near, far, controls["dir_jitter"], 0.99
+        )
+        idx = jnp.arange(statics.max_expand, dtype=jnp.int32)
+        z_vals = jnp.where(idx[None, :] < num_valid, jittered, far)
+    elif statics.jitter:
+        z_vals = gap_jitter(
+            jitter_key, z_vals, near, far, controls["dir_jitter"], 1.0 - 2e-6
+        )
+
+    query_pts = ray_points(ndc_o, ndc_d, z_vals)
+    if statics.add_offsets:
+        query_pts = query_pts + statics.offset_scale * points_offset
+
+    # 6. NeRF MLP + compositing.
+    x_pe = positional_encoding(query_pts, statics.multires)
+    d_pe = positional_encoding(rays["viewdirs"], statics.multires_views)
+    d_pe = jnp.broadcast_to(
+        d_pe[:, None, :], (n_rays, z_vals.shape[-1], d_pe.shape[-1])
+    )
+    raw = nerf_mlp_apply(params["nerf"], x_pe, d_pe, statics.netskips, cdt)
+
+    noise = None
+    if statics.noise_std > 0.0:
+        noise = statics.noise_std * jax.random.normal(
+            noise_key, z_vals.shape, z_vals.dtype
+        )
+    comp = composite(
+        raw,
+        z_vals,
+        ndc_d,
+        noise=noise,
+        mm_add=mm_add if statics.use_mm else None,
+        mm_mul=mm_mul if statics.use_mm else None,
+        clamp_raw=statics.clamp_raw,
+        num_valid=num_valid,
+        white_bkgd=statics.white_bkgd,
+    )
+    return {
+        "rgb0": refine_rgb,
+        "rgb1": comp["rgb"],
+        "depth": comp["depth"],
+        "disp": comp["disp"],
+        "acc": comp["acc"],
+        "weights": comp["weights"],
+        "mm_rgb": mm_rgb,
+        "depth0": jnp.mean(jax.lax.stop_gradient(z_vals), axis=-1),
+        "sigma": raw[..., 3],
+    }

@@ -1,0 +1,166 @@
+"""Epipolar inverse warping: project candidate sample points into neighboring
+source views and fetch bilinearly-interpolated colors.
+
+TPU-first redesign of the reference warp (``inverse_warp.py:515-581``):
+
+- the reference tiles every training image x every sample into a batch and
+  runs ``grid_sample`` over ALL views, then gathers the per-ray selected
+  neighbors afterwards; here the per-ray neighbor view indices are gathered
+  FIRST and only those views are projected/sampled (k_ref/num_neighbor = ~4x
+  less work at fern scale);
+- ``grid_sample(align_corners=True, padding_mode='zeros')`` with the
+  reference's "push out-of-bounds coords to 2.0" trick becomes an explicit
+  OOB mask over a 4-corner gather + lerp;
+- the per-view projection matrix is pre-fused on the host into
+  ``M = F @ [R^T | -R^T t]`` (F = diag(1,-1,-1)) so the in-graph work is one
+  einsum + a perspective divide. Note: unlike the reference's fused TRT-path
+  matrix (``run_S_eS_eN_alter_trt.py:289-294``, which passes c2w where w2c is
+  required), this matches the training warp math exactly, so training and
+  inference agree. The perspective divide uses ``|z|`` like the training warp
+  (``inverse_warp.py:541-547``), not the signed z of the TRT variant.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def fuse_projection(c2w):
+    """Per-view fused matrix M = F @ [R^T | -R^T t] with F = diag(1,-1,-1).
+
+    Applying M to homogeneous world points yields p = (c_x, -c_y, -c_z) in
+    the source camera frame; pixel coords follow as
+    u = fx * p_x / |p_z| + cx, v = fy * p_y / |p_z| + cy, matching the
+    training warp's x/|z|, -y/|z| convention for the OpenGL-style camera.
+
+    Args:
+      c2w: [..., 3, 4] camera-to-world pose(s).
+
+    Returns: [..., 3, 4].
+    """
+    c2w = jnp.asarray(c2w)
+    R = c2w[..., :3, :3]
+    t = c2w[..., :3, 3]
+    Rt = jnp.swapaxes(R, -1, -2)
+    w2c_t = -jnp.einsum("...ij,...j->...i", Rt, t, precision="highest")
+    M = jnp.concatenate([Rt, w2c_t[..., None]], axis=-1)
+    F = jnp.asarray([1.0, -1.0, -1.0], dtype=M.dtype)
+    return M * F[..., :, None]
+
+
+def project_points(pts, M, K, H: int, W: int, eps: float = 1e-8):
+    """Project world points into a source view; return normalized coords.
+
+    Args:
+      pts: [..., 3] world points.
+      M: [..., 3, 4] fused matrices (see :func:`fuse_projection`),
+         broadcastable against pts' batch shape.
+      K: [3, 3] shared intrinsics.
+      H, W: source image size.
+
+    Returns:
+      (xn, yn): [...] coords normalized to [-1, 1] (align_corners mapping);
+      values outside [-1, 1] are out of bounds.
+    """
+    p = jnp.einsum(
+        "...ij,...j->...i", M[..., :3], pts, precision="highest"
+    ) + M[..., 3]
+    z = jnp.abs(p[..., 2]) + eps
+    u = K[0, 0] * p[..., 0] / z + K[0, 2]
+    v = K[1, 1] * p[..., 1] / z + K[1, 2]
+    xn = 2.0 * u / (W - 1) - 1.0
+    yn = 2.0 * v / (H - 1) - 1.0
+    return xn, yn
+
+
+def bilinear_sample(images, view_idx, xn, yn):
+    """Bilinear sample with align_corners=True and zeros outside [-1, 1].
+
+    Args:
+      images: [T, H, W, C].
+      view_idx: [...] int32 view index per sample point.
+      xn, yn: [...] normalized coords.
+
+    Returns: [..., C]; exact zeros where (xn, yn) is out of bounds.
+    """
+    T, H, W, C = images.shape
+    inb = (
+        (xn >= -1.0) & (xn <= 1.0) & (yn >= -1.0) & (yn <= 1.0)
+    )
+    u = (xn + 1.0) * 0.5 * (W - 1)
+    v = (yn + 1.0) * 0.5 * (H - 1)
+    u = jnp.clip(u, 0.0, W - 1)
+    v = jnp.clip(v, 0.0, H - 1)
+    x0 = jnp.floor(u).astype(jnp.int32)
+    y0 = jnp.floor(v).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    wx = u - x0.astype(u.dtype)
+    wy = v - y0.astype(v.dtype)
+
+    flat = images.reshape(T * H * W, C)
+    base = view_idx.astype(jnp.int32) * (H * W)
+
+    def gather(yi, xi):
+        return jnp.take(flat, base + yi * W + xi, axis=0)
+
+    c00 = gather(y0, x0)
+    c01 = gather(y0, x1)
+    c10 = gather(y1, x0)
+    c11 = gather(y1, x1)
+    top = c00 * (1.0 - wx[..., None]) + c01 * wx[..., None]
+    bot = c10 * (1.0 - wx[..., None]) + c11 * wx[..., None]
+    out = top * (1.0 - wy[..., None]) + bot * wy[..., None]
+    return out * inb[..., None].astype(out.dtype)
+
+
+def epipolar_colors(images, fused_mats, K, view_idx, rays_o, rays_d, z3d):
+    """Colors of candidate sample points as seen from per-ray neighbor views.
+
+    Args:
+      images: [T, H, W, 3] source (training) images.
+      fused_mats: [T, 3, 4] per-view fused projection (``fuse_projection``).
+      K: [3, 3] shared intrinsics.
+      view_idx: [N, V] int neighbor view ids per ray.
+      rays_o, rays_d: [N, 3] ORIGINAL camera-space rays (not NDC).
+      z3d: [N, S] 3D depths along each ray.
+
+    Returns: colors [N, V, S, 3] (zeros where the projection left the image).
+    """
+    T, H, W, _ = images.shape
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z3d[..., None]  # [N, S, 3]
+    M = fused_mats[view_idx]  # [N, V, 3, 4]
+    xn, yn = project_points(pts[:, None, :, :], M[:, :, None, :, :], K, H, W)
+    vidx = jnp.broadcast_to(view_idx[:, :, None], xn.shape)
+    return bilinear_sample(images, vidx, xn, yn)
+
+
+def mean_fill_invalid(colors, eps: float = 1e-6):
+    """Replace invalid (all-zero) warped colors by the mean of the valid
+    neighbor views at the same (ray, sample), matching the reference's
+    fill rule (``run_S_eS_eN_alter_base.py:660-662``): a warp is "valid"
+    iff its channel sum is > 0.
+
+    Args:
+      colors: [N, V, S, 3].
+
+    Returns: [N, V, S, 3].
+    """
+    valid = (jnp.sum(colors, axis=-1, keepdims=True) > 0).astype(colors.dtype)
+    mean = jnp.sum(valid * colors, axis=1, keepdims=True) / (
+        jnp.sum(valid, axis=1, keepdims=True) + eps
+    )
+    return colors * valid + mean * (1.0 - valid)
+
+
+def fuse_projection_np(c2w):
+    """NumPy twin of :func:`fuse_projection` for host-side precompute."""
+    c2w = np.asarray(c2w)
+    R = c2w[..., :3, :3]
+    t = c2w[..., :3, 3]
+    Rt = np.swapaxes(R, -1, -2)
+    w2c_t = -np.einsum("...ij,...j->...i", Rt, t)
+    M = np.concatenate([Rt, w2c_t[..., None]], axis=-1)
+    F = np.asarray([1.0, -1.0, -1.0], dtype=M.dtype)
+    return M * F[..., :, None]

@@ -1,0 +1,100 @@
+"""Scene/ray-batch preparation shared by training, eval and inference.
+
+The pipeline consumes TWO parallel ray parameterizations per pixel
+(reference ``run_S_eS_eN_alter_base.py:248-277``):
+- NDC rays (near plane at 1.0) for the sampler/NeRF math, and
+- the ORIGINAL world-space rays for lifting candidate depths to 3D points
+  for the epipolar warp (their camera-z magnitude is 1, so the 3D depth
+  1/(1-z_ndc-eps) is metric camera depth along them).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from pronerf_tpu.ops.rays import get_rays, ndc_rays
+from pronerf_tpu.ops.warp import fuse_projection
+
+
+def prepare_scene(images, poses, K):
+    """Device-side scene bundle for :func:`pronerf_tpu.models.render_rays`.
+
+    Args:
+      images: [T, H, W, 3] float32 training images.
+      poses: [T, 3, 4] c2w training poses.
+      K: [3, 3] shared intrinsics.
+    """
+    poses = jnp.asarray(poses)
+    return {
+        "images": jnp.asarray(images),
+        "fused_mats": fuse_projection(poses),
+        "K": jnp.asarray(K),
+        "poses_t": poses[:, :3, 3],
+    }
+
+
+def rays_for_pose(H: int, W: int, K, c2w):
+    """Full-image ray bundle for one camera pose. Returns dict of [H*W, ...]."""
+    rays_o, rays_d = get_rays(H, W, K, c2w)
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    ndc_o, ndc_d = ndc_rays(H, W, float(K[0][0]), 1.0, rays_o, rays_d)
+    flat = lambda x: x.reshape(-1, 3).astype(jnp.float32)
+    return {
+        "ndc_o": flat(ndc_o),
+        "ndc_d": flat(ndc_d),
+        "viewdirs": flat(viewdirs),
+        "or_o": flat(rays_o),
+        "or_d": flat(rays_d),
+        "pose_id": jnp.zeros((H * W,), jnp.int32),
+    }
+
+
+def rays_from_pool(batch_rays, pose_ids, H: int, W: int, focal: float):
+    """Ray bundle from a [N, 2, 3] (o, d) slice of the precomputed training
+    ray pool plus each ray's train-view id."""
+    rays_o = jnp.asarray(batch_rays[:, 0])
+    rays_d = jnp.asarray(batch_rays[:, 1])
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    ndc_o, ndc_d = ndc_rays(H, W, focal, 1.0, rays_o, rays_d)
+    return {
+        "ndc_o": ndc_o.astype(jnp.float32),
+        "ndc_d": ndc_d.astype(jnp.float32),
+        "viewdirs": viewdirs.astype(jnp.float32),
+        "or_o": rays_o.astype(jnp.float32),
+        "or_d": rays_d.astype(jnp.float32),
+        "pose_id": jnp.asarray(pose_ids, jnp.int32),
+    }
+
+
+def build_ray_pool(images, poses, K, i_train, num_neighbor: int, rng: np.random.Generator):
+    """Host-side precompute of the shuffled training ray pool.
+
+    Mirrors the reference's startup precompute
+    (``run_S_eS_eN_alter_base.py:849-874``): all rays of all training views
+    with their target colors, shuffled once; plus each ray's train-view
+    index (the reference stores a per-ray table of 1+num_neighbor nearest
+    pose ids — we store just the view id and gather neighbors in-graph).
+
+    Returns:
+      rays: [M, 3, 3] float32 (origin, direction, rgb),
+      view_ids: [M] int32 index INTO THE TRAIN SUBSET (0..len(i_train)-1),
+      perm-shuffled consistently.
+    """
+    from pronerf_tpu.ops.rays import get_rays_np
+
+    T = len(i_train)
+    H, W = images.shape[1:3]
+    all_rays = []
+    all_ids = []
+    for local_id, idx in enumerate(i_train):
+        ro, rd = get_rays_np(H, W, K, poses[idx][:3, :4])
+        rays = np.stack(
+            [ro, rd, images[idx]], axis=2
+        ).reshape(-1, 3, 3)  # [H*W, (o,d,rgb), 3]
+        all_rays.append(rays.astype(np.float32))
+        all_ids.append(np.full((H * W,), local_id, np.int32))
+    rays = np.concatenate(all_rays, 0)
+    ids = np.concatenate(all_ids, 0)
+    perm = rng.permutation(rays.shape[0])
+    return rays[perm], ids[perm]

@@ -1,0 +1,77 @@
+"""Synthetic LLFF-like scenes for tests and benchmarks (no dataset on disk).
+
+Generates a forward-facing camera rig around the origin looking down -z with
+smooth random images, in the same conventions the data layer produces after
+recentering: c2w poses [T, 3, 4], shared intrinsics, NDC-compatible bounds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def make_scene(
+    n_views: int = 8,
+    H: int = 60,
+    W: int = 80,
+    focal: float = 70.0,
+    spread: float = 0.25,
+    seed: int = 0,
+):
+    """Returns dict(images [T,H,W,3] f32 in [0,1], poses [T,3,4], K [3,3],
+    hwf, bds [T,2])."""
+    rng = np.random.default_rng(seed)
+    poses = []
+    for t in range(n_views):
+        # Small translations in the camera plane, slight z offsets; rotation
+        # is a small perturbation of identity (forward-facing rig).
+        angle = rng.normal(0.0, 0.02, size=3)
+        Rx = _rot_x(angle[0]) @ _rot_y(angle[1]) @ _rot_z(angle[2])
+        trans = np.array(
+            [
+                spread * np.cos(2 * np.pi * t / n_views),
+                spread * np.sin(2 * np.pi * t / n_views),
+                rng.normal(0.0, 0.02),
+            ]
+        )
+        poses.append(np.concatenate([Rx, trans[:, None]], axis=1))
+    poses = np.stack(poses).astype(np.float32)
+
+    # Smooth random images: low-frequency Fourier basis avoids the all-zero
+    # pixels that the warp's validity rule treats as invalid.
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    images = np.zeros((n_views, H, W, 3), np.float32)
+    for t in range(n_views):
+        for c in range(3):
+            img = 0.55 + 0.25 * np.sin(
+                2 * np.pi * (xx / W * rng.uniform(1, 3) + rng.uniform(0, 1))
+            ) * np.cos(2 * np.pi * (yy / H * rng.uniform(1, 3)))
+            images[t, ..., c] = img
+    images = np.clip(images, 0.05, 1.0)
+
+    K = np.array(
+        [[focal, 0, 0.5 * W], [0, focal, 0.5 * H], [0, 0, 1]], np.float32
+    )
+    bds = np.tile(np.array([1.0, 10.0], np.float32), (n_views, 1))
+    return {
+        "images": images,
+        "poses": poses,
+        "K": K,
+        "hwf": (H, W, focal),
+        "bds": bds,
+    }
+
+
+def _rot_x(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[1, 0, 0], [0, c, -s], [0, s, c]], np.float32)
+
+
+def _rot_y(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+
+
+def _rot_z(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)

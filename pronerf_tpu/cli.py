@@ -1,0 +1,189 @@
+"""Release CLI: ``python -m pronerf_tpu.cli {train-stage1, train-stage2,
+infer, eval, export}``.
+
+Surface parity with the reference CLI (``pronerf/cli.py:173-221``): the same
+five verbs (``export`` also answers to ``export-trt``), kebab-case flags
+mapped onto the research-script snake_case config surface, defaults pointing
+at the three fern release configs, and ``--`` passthrough of raw config
+overrides (e.g. ``-- --i_weights 2``). Verbs dispatch to in-process drivers
+instead of runpy-exec'ing research scripts.
+
+TPU-native mappings:
+- ``--use-trt`` selects the bfloat16 MXU fast path (FP16-engine analogue);
+- ``export`` serializes the AOT XLA renderer instead of building TRT
+  engines; ``--onnx-only`` is accepted and ignored with a note.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+from pronerf_tpu.config import Config
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+DEFAULT_STAGE1_CONFIG = REPO_ROOT / "configs/llff/fern/fern_epi.txt"
+DEFAULT_STAGE2_CONFIG = REPO_ROOT / "configs/llff/fern/fern_refine.txt"
+DEFAULT_TRT_CONFIG = REPO_ROOT / "configs/llff/fern/fern_trt.txt"
+
+
+def _parse_extra(extra: list[str]) -> dict:
+    """``-- --key value`` / ``-- --flag`` passthrough onto Config fields."""
+    if extra and extra[0] == "--":
+        extra = extra[1:]
+    out: dict = {}
+    i = 0
+    bool_fields = {
+        name for name in Config.field_names()
+        if isinstance(getattr(Config(), name), bool)
+    }
+    while i < len(extra):
+        tok = extra[i]
+        if not tok.startswith("--"):
+            raise SystemExit(f"Unexpected passthrough token: {tok!r}")
+        key = tok[2:].replace("-", "_")
+        if key not in Config.field_names():
+            raise SystemExit(f"Unknown config flag --{key}")
+        if key in bool_fields and (
+            i + 1 >= len(extra) or extra[i + 1].startswith("--")
+        ):
+            out[key] = True
+            i += 1
+        else:
+            from pronerf_tpu.config import _coerce
+
+            out[key] = _coerce(Config, key, extra[i + 1])
+            i += 2
+    return out
+
+
+def _build_cfg(args, default_config) -> Config:
+    overrides = _parse_extra(getattr(args, "extra", []))
+    for name in ("max_steps", "no_reload", "pretrain_path", "render_test",
+                 "use_trt", "max_images", "synthetic"):
+        val = getattr(args, name, None)
+        if name == "synthetic":
+            if val:
+                overrides["datadir"] = "synthetic"
+            continue
+        if val not in (None, False):
+            overrides[name] = val
+    ckpt = getattr(args, "checkpoint", None)
+    if ckpt:
+        overrides["ft_path"] = ckpt
+    return Config.from_file(args.config or default_config, **overrides)
+
+
+def cmd_train_stage1(args):
+    from pronerf_tpu.train.loop import run_training
+
+    run_training(_build_cfg(args, DEFAULT_STAGE1_CONFIG), stage=1)
+
+
+def cmd_train_stage2(args):
+    from pronerf_tpu.train.loop import run_training
+
+    run_training(_build_cfg(args, DEFAULT_STAGE2_CONFIG), stage=2)
+
+
+def cmd_infer(args):
+    from pronerf_tpu.render.infer import run_inference
+
+    run_inference(
+        _build_cfg(args, DEFAULT_TRT_CONFIG), timing_reps=args.timing_reps
+    )
+
+
+def cmd_eval(args):
+    args.render_test = True
+    cmd_infer(args)
+
+
+def cmd_export(args):
+    from pronerf_tpu.render.infer import run_export
+
+    if getattr(args, "onnx_only", False):
+        print("--onnx-only: note — this framework exports one AOT XLA "
+              "executable; there is no intermediate ONNX stage.")
+    run_export(
+        _build_cfg(args, DEFAULT_TRT_CONFIG),
+        height=args.height, width=args.width,
+    )
+
+
+def _add_passthrough(p):
+    p.add_argument(
+        "extra", nargs=argparse.REMAINDER,
+        help="raw config overrides forwarded after --, e.g. -- --i_weights 2",
+    )
+    p.add_argument("--synthetic", action="store_true",
+                   help="use the built-in synthetic scene (no dataset needed)")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="python -m pronerf_tpu.cli",
+        description="TPU-native ProNeRF: train / infer / export on LLFF scenes.",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("train-stage1", help="alternating sampler/NeRF training")
+    p.add_argument("--config", default=None)
+    p.add_argument("--no-reload", action="store_true", dest="no_reload")
+    p.add_argument("--max-steps", type=int, default=None, dest="max_steps")
+    _add_passthrough(p)
+    p.set_defaults(func=cmd_train_stage1)
+
+    p = sub.add_parser("train-stage2", help="joint refinement from a stage-1 ckpt")
+    p.add_argument("--config", default=None)
+    p.add_argument("--pretrain-path", default=None, dest="pretrain_path")
+    p.add_argument("--no-reload", action="store_true", dest="no_reload")
+    p.add_argument("--max-steps", type=int, default=None, dest="max_steps")
+    _add_passthrough(p)
+    p.set_defaults(func=cmd_train_stage2)
+
+    p = sub.add_parser("infer", help="render held-out/test views")
+    p.add_argument("--config", default=None)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--render-test", action="store_true", dest="render_test")
+    p.add_argument("--use-trt", action="store_true", dest="use_trt",
+                   help="bfloat16 fast path (FP16-engine analogue)")
+    p.add_argument("--max-images", type=int, default=None, dest="max_images")
+    p.add_argument("--timing-reps", type=int, default=0, dest="timing_reps",
+                   help="timed re-renders per pose (reference uses 20)")
+    _add_passthrough(p)
+    p.set_defaults(func=cmd_infer)
+
+    p = sub.add_parser("eval", help="render the test split through inference")
+    p.add_argument("--config", default=None)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--use-trt", action="store_true", dest="use_trt")
+    p.add_argument("--max-images", type=int, default=None, dest="max_images")
+    p.add_argument("--timing-reps", type=int, default=0, dest="timing_reps")
+    _add_passthrough(p)
+    p.set_defaults(func=cmd_eval)
+
+    for name in ("export", "export-trt"):
+        p = sub.add_parser(
+            name, help="AOT-compile + serialize the full-frame renderer"
+        )
+        p.add_argument("--config", default=None)
+        p.add_argument("--checkpoint", default=None)
+        p.add_argument("--onnx-only", action="store_true", dest="onnx_only")
+        p.add_argument("--use-trt", action="store_true", dest="use_trt",
+                       help="export the bfloat16 variant")
+        p.add_argument("--height", type=int, default=756)
+        p.add_argument("--width", type=int, default=1008)
+        _add_passthrough(p)
+        p.set_defaults(func=cmd_export)
+
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()

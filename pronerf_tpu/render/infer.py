@@ -1,0 +1,166 @@
+"""Inference / eval / export drivers — the release surface of the TRT driver
+(``run_S_eS_eN_alter_trt.py:699-807``) rebuilt on the AOT XLA renderer.
+
+- reference views come from greedy COLMAP visibility selection
+  (``load_llff_data_infer``) and the per-pose neighbors are the nearest
+  num_neighbor of those, deterministically;
+- bounds are near=0, far=1 in NDC; density corrections always applied;
+- ``--use-trt`` (kept for surface parity) selects the bf16 fast path — the
+  analogue of the FP16 engines; ``export`` serializes the whole pipeline
+  via jax.export instead of ONNX->TRT;
+- metrics: PSNR (always), SSIM, and LPIPS when the optional package exists
+  (the reference ships the helpers but never wires them; BASELINE.md asks
+  for them, so eval reports all three).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+
+from pronerf_tpu.config import Config
+from pronerf_tpu.models.pronerf import RenderStatics
+from pronerf_tpu.render.raygen import prepare_scene
+from pronerf_tpu.render.renderer import render_path
+from pronerf_tpu.train.checkpoint import latest_checkpoint
+from pronerf_tpu.train.loop import (
+    _init_params,
+    load_params_for_inference,
+    setup_expdir,
+)
+
+
+def load_inference_data(cfg: Config):
+    """LLFF infer data (COLMAP ref views) or the synthetic stand-in."""
+    if cfg.datadir == "synthetic":
+        from pronerf_tpu.utils.synthetic import make_scene
+
+        sc = make_scene(n_views=8, H=60, W=80, seed=cfg.seed)
+        images = sc["images"]
+        H, W, focal = sc["hwf"]
+        poses = sc["poses"]
+        i_test = np.arange(len(images))[:: cfg.llffhold]
+        i_train = np.array([i for i in range(len(images)) if i not in i_test])
+        i_ref = i_train[: cfg.num_neighbor]
+        K = sc["K"]
+        return {
+            "images": images, "poses": poses, "i_test": i_test,
+            "i_ref": i_ref, "H": H, "W": W, "focal": focal, "K": K,
+        }
+    from pronerf_tpu.data.llff import load_llff_data_infer
+
+    images, poses, bds, render_poses, i_test, i_ref = load_llff_data_infer(
+        cfg.datadir, factor=cfg.factor, recenter=True, bd_factor=0.75,
+        spherify=cfg.spherify, num_neighbor=cfg.num_neighbor,
+        llffhold=cfg.llffhold,
+    )
+    hwf = poses[0, :3, -1]
+    H, W, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
+    K = np.array(
+        [[focal, 0, 0.5 * W], [0, focal, 0.5 * H], [0, 0, 1]], np.float32
+    )
+    return {
+        "images": images, "poses": poses[:, :3, :4], "i_test": i_test,
+        "i_ref": i_ref, "H": H, "W": W, "focal": focal, "K": K,
+    }
+
+
+def _infer_statics(cfg: Config, use_bf16: bool) -> RenderStatics:
+    return RenderStatics.infer(
+        compute_dtype="bfloat16" if use_bf16 else cfg.compute_dtype,
+        N_samples=cfg.N_samples,
+        N_point_ray_enc=cfg.N_point_ray_enc,
+        num_neighbor=cfg.num_neighbor,
+        multires=cfg.multires,
+        multires_views=cfg.multires_views,
+        white_bkgd=cfg.white_bkgd,
+    )
+
+
+def _load_params(cfg: Config, expdir):
+    ckpt = cfg.ft_path or latest_checkpoint(expdir)
+    params = _init_params(cfg, jax.random.PRNGKey(cfg.seed))
+    if ckpt:
+        print(f"Loading checkpoint {ckpt}")
+        params = load_params_for_inference(ckpt, params)
+    else:
+        print("WARNING: no checkpoint found; rendering with random weights")
+    return params
+
+
+def run_inference(cfg: Config, timing_reps: int = 0):
+    """``infer`` / ``eval``: render the held-out test poses, report metrics."""
+    data = load_inference_data(cfg)
+    expdir = setup_expdir(cfg)
+    params = _load_params(cfg, expdir)
+
+    scene = prepare_scene(
+        data["images"][data["i_ref"]], data["poses"][data["i_ref"]], data["K"]
+    )
+    statics = _infer_statics(cfg, use_bf16=cfg.use_trt)
+
+    i_test = data["i_test"]
+    if cfg.max_images is not None:
+        i_test = i_test[: cfg.max_images]
+    savedir = expdir / "renderonly_test"
+    result = render_path(
+        data["poses"][i_test], params, scene, statics,
+        data["H"], data["W"], data["K"],
+        gt_imgs=data["images"][i_test], savedir=savedir,
+        tile_rays=cfg.tile_rays, timing_reps=timing_reps,
+    )
+
+    # SSIM / LPIPS on top of render_path's PSNR report
+    from pronerf_tpu.ops.metrics import img2ssim, rgb_lpips
+
+    ssims, lpipss = [], []
+    for k, idx in enumerate(i_test):
+        gt = np.asarray(data["images"][idx])
+        pred = result["rgbs1"][k]
+        ssims.append(img2ssim(pred, gt))
+        lp = rgb_lpips(gt, pred)
+        if lp is not None:
+            lpipss.append(lp)
+    if ssims:
+        print(f"Mean Test SSIM {float(np.mean(ssims))}")
+    if lpipss:
+        print(f"Mean Test LPIPS {float(np.mean(lpipss))}")
+    result["ssims"] = ssims
+    result["lpips"] = lpipss
+    if result["times_ms"]:
+        ms = float(np.median(result["times_ms"]))
+        print(f"Median render ms/frame: {ms:.3f} "
+              f"({data['H'] * data['W'] / ms * 1e3 / 1e6:.2f} Mrays/s)")
+    return result
+
+
+def run_export(cfg: Config, height: int = 756, width: int = 1008):
+    """``export``: AOT-compile + serialize the full-frame renderer at the
+    target resolution (engine-build parity; default 1008x756 like the
+    reference's TRT batch sizing)."""
+    from pronerf_tpu.render.export import export_renderer
+
+    data = load_inference_data(cfg)
+    expdir = setup_expdir(cfg)
+    params = _load_params(cfg, expdir)
+    scene = prepare_scene(
+        data["images"][data["i_ref"]], data["poses"][data["i_ref"]], data["K"]
+    )
+    # Scale intrinsics from the data resolution to the export resolution.
+    sx, sy = width / data["W"], height / data["H"]
+    K = np.array(
+        [
+            [data["K"][0][0] * sx, 0, 0.5 * width],
+            [0, data["K"][1][1] * sy, 0.5 * height],
+            [0, 0, 1],
+        ],
+        np.float32,
+    )
+    paths = export_renderer(
+        params, scene, expdir / "export", height, width, K,
+        tile_rays=cfg.tile_rays,
+        compute_dtype="bfloat16" if cfg.use_trt else cfg.compute_dtype,
+    )
+    print(f"Exported AOT renderer to {paths['executable']}")
+    return paths

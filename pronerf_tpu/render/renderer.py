@@ -1,0 +1,170 @@
+"""Full-frame rendering: one AOT-compilable XLA graph over fixed-size ray
+tiles — the TPU-native replacement for the reference's ONNX -> TensorRT FP16
+engine path (``onnx2trt.py``, ``trt_infer_v2.py``).
+
+Design:
+- a frame is H*W rays padded to a multiple of ``tile_rays``; a ``lax.map``
+  over [n_tiles, tile, ...] keeps peak memory flat while XLA pipelines the
+  tiles (the reference instead chunks host-side or relies on 8-sample
+  sparsity to fit a whole frame);
+- everything per-pose (ray generation, neighbor selection, fused warp
+  matrices) happens inside the one jitted function, so per-frame host work
+  is a single dispatch;
+- ``compute_dtype='bfloat16'`` runs the three MLPs in bf16 on the MXU with
+  f32 accumulation — the analogue of the TRT FP16 engines.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pronerf_tpu.models.pronerf import RenderStatics, render_rays
+from pronerf_tpu.render.raygen import rays_for_pose
+
+
+def _pad_and_tile(rays, tile: int):
+    n = rays["ndc_o"].shape[0]
+    n_tiles = -(-n // tile)
+    pad = n_tiles * tile - n
+
+    def prep(x):
+        x = jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+        return x.reshape(n_tiles, tile, *x.shape[1:])
+
+    return {k: prep(v) for k, v in rays.items()}, n
+
+
+def make_frame_renderer(
+    statics: RenderStatics,
+    H: int,
+    W: int,
+    K,
+    tile_rays: int = 8192,
+):
+    """Build a jitted (params, scene, c2w) -> frame dict renderer."""
+    K = np.asarray(K)
+
+    def render_frame(params, scene, c2w):
+        rays = rays_for_pose(H, W, K, c2w)
+        tiled, n = _pad_and_tile(rays, tile_rays)
+        controls = {
+            "rng": jax.random.PRNGKey(0),
+            "target_t": jnp.asarray(c2w)[:3, 3],
+        }
+
+        def body(tile_rays_):
+            out = render_rays(params, tile_rays_, scene, controls, statics)
+            return {
+                "rgb1": out["rgb1"],
+                "rgb0": out["rgb0"],
+                "depth": out["depth"],
+                "mm_rgb": out["mm_rgb"],
+                "depth0": out["depth0"],
+            }
+
+        out = jax.lax.map(body, tiled)
+        flat = {k: v.reshape(-1, *v.shape[2:])[:n] for k, v in out.items()}
+        return {
+            "rgb1": flat["rgb1"].reshape(H, W, 3),
+            "rgb0": flat["rgb0"].reshape(H, W, 3),
+            "depth": flat["depth"].reshape(H, W),
+            "mm_rgb": flat["mm_rgb"].reshape(H, W, 3),
+            "depth0": flat["depth0"].reshape(H, W),
+        }
+
+    return jax.jit(render_frame)
+
+
+def render_path(
+    render_poses,
+    params,
+    scene,
+    statics: RenderStatics,
+    H: int,
+    W: int,
+    K,
+    gt_imgs=None,
+    savedir: Optional[str] = None,
+    tile_rays: int = 8192,
+    timing_reps: int = 0,
+    render_factor: int = 0,
+):
+    """Render a pose list; save PNGs and report PSNR like the reference's
+    ``render_path`` (``run_S_eS_eN_alter_base.py:292-372``): per-pose PNG
+    dumps with ``{i:03d}.png`` / ``rgb0_`` / ``depth_`` / ``gt_`` prefixes
+    and mean test PSNR for both the NeRF output (rgb1) and the refine-net
+    output (rgb0).
+
+    ``timing_reps > 0`` re-renders each pose that many times around
+    block_until_ready timers and prints ``Render path time:`` in ms —
+    the reference's CUDA-event benchmark protocol
+    (``run_S_eS_eN_alter_trt.py:326-332``).
+    """
+    from pronerf_tpu.ops.metrics import to8b
+
+    if render_factor != 0:
+        H, W = H // render_factor, W // render_factor
+        K = np.asarray(K) / render_factor
+        K = np.concatenate([K[:2], [[0, 0, 1]]], 0)
+
+    renderer = make_frame_renderer(statics, H, W, K, tile_rays)
+    rgbs0, rgbs1, depths, psnrs, psnrs0, times_ms = [], [], [], [], [], []
+
+    for i, c2w in enumerate(np.asarray(render_poses)):
+        c2w = jnp.asarray(c2w[:3, :4])
+        out = jax.block_until_ready(renderer(params, scene, c2w))
+        if timing_reps > 0:
+            for _ in range(timing_reps):
+                t0 = time.perf_counter()
+                jax.block_until_ready(renderer(params, scene, c2w))
+                ms = (time.perf_counter() - t0) * 1e3
+                times_ms.append(ms)
+                print(f"Render path time: {ms:.3f}")
+        rgb1 = np.asarray(out["rgb1"])
+        rgb0 = np.asarray(out["rgb0"])
+        depth = np.asarray(out["depth"])
+        rgbs1.append(rgb1)
+        rgbs0.append(rgb0)
+        depths.append(depth)
+
+        if gt_imgs is not None and render_factor == 0:
+            gt = np.asarray(gt_imgs[i])
+            psnrs.append(-10.0 * np.log10(np.mean((rgb1 - gt) ** 2)))
+            psnrs0.append(-10.0 * np.log10(np.mean((rgb0 - gt) ** 2)))
+
+        if savedir is not None:
+            import imageio.v2 as imageio
+            from pathlib import Path
+
+            savedir = Path(savedir)
+            savedir.mkdir(parents=True, exist_ok=True)
+            imageio.imwrite(savedir / f"{i:03d}.png", to8b(rgb1))
+            imageio.imwrite(savedir / f"rgb0_{i:03d}.png", to8b(rgb0))
+            imageio.imwrite(
+                savedir / f"depth_{i:03d}.png", to8b(depth / max(depth.max(), 1e-8))
+            )
+            if gt_imgs is not None:
+                imageio.imwrite(
+                    savedir / f"gt_{i:03d}.png", to8b(np.asarray(gt_imgs[i]))
+                )
+
+    result = {
+        "rgbs0": np.stack(rgbs0) if rgbs0 else None,
+        "rgbs1": np.stack(rgbs1) if rgbs1 else None,
+        "depths": np.stack(depths) if depths else None,
+        "psnrs": psnrs,
+        "psnrs0": psnrs0,
+        "times_ms": times_ms,
+    }
+    if psnrs:
+        print(psnrs)
+        print(f"Mean Test PSNR {float(np.mean(psnrs))}")
+    if psnrs0:
+        print(psnrs0)
+        print(f"Mean Test PSNR {float(np.mean(psnrs0))}")
+    return result

@@ -40,15 +40,30 @@ def save_checkpoint(path, state) -> str:
     return str(path)
 
 
-def load_checkpoint(path, target=None):
+def load_checkpoint(path, target=None, raw: bool = False):
     """Restore a pytree from ``path``. With ``target`` the stored leaves are
-    mapped onto the target structure (shape-checked); without, the raw
-    dict-of-arrays is returned."""
+    mapped onto the target structure (shape-checked); without, the
+    dict-of-arrays is returned (state-dict form when ``raw``, with integer-
+    keyed dicts converted back to lists otherwise)."""
     data = Path(path).read_bytes()
-    raw = serialization.msgpack_restore(data)
-    if target is None:
-        return raw
-    return serialization.from_state_dict(target, raw)
+    restored = serialization.msgpack_restore(data)
+    if target is not None:
+        return serialization.from_state_dict(target, restored)
+    return restored if raw else _relistify(restored)
+
+
+def _relistify(tree):
+    """Undo to_state_dict's list->{'0': ...} conversion on raw loads."""
+    if isinstance(tree, dict):
+        out = {k: _relistify(v) for k, v in tree.items()}
+        if out and all(
+            isinstance(k, str) and k.isdigit() for k in out
+        ):
+            idx = sorted(out, key=int)
+            if [int(k) for k in idx] == list(range(len(idx))):
+                return [out[k] for k in idx]
+        return out
+    return tree
 
 
 def latest_checkpoint(expdir) -> str | None:

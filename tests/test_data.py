@@ -1,0 +1,140 @@
+import struct
+
+import numpy as np
+import pytest
+
+from pronerf_tpu.data import (
+    greedy_reference_views,
+    load_llff_data,
+    load_llff_data_infer,
+    poses_avg,
+    read_images_binary,
+    read_points3d_binary,
+    recenter_poses,
+)
+
+
+def _write_llff_dataset(root, n=6, H=24, W=32, focal=30.0):
+    """Write a minimal on-disk LLFF dataset (poses_bounds.npy + images/)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    (root / "images").mkdir(parents=True)
+    rows = []
+    for i in range(n):
+        # c2w with identity-ish rotation; store with LLFF's [down, right,
+        # back] column convention (inverse of the loader's [-y, x, z] remap).
+        c2w = np.concatenate(
+            [np.eye(3), np.array([[0.1 * i], [0.05 * i], [0.0]])], 1
+        )
+        stored = np.concatenate(
+            [-c2w[:, 1:2], c2w[:, 0:1], c2w[:, 2:]], 1
+        )  # invert row remap
+        m = np.concatenate([stored, np.array([[H], [W], [focal]])], 1)
+        rows.append(np.concatenate([m.flatten(), [1.0, 10.0]]))
+        img = (rng.uniform(0, 255, size=(H, W, 3))).astype(np.uint8)
+        Image.fromarray(img).save(root / "images" / f"img_{i:03d}.png")
+    np.save(root / "poses_bounds.npy", np.stack(rows))
+
+
+def _write_colmap_model(root, n_images=6, n_points=40):
+    """Write minimal images.bin / points3D.bin (inverse of our readers)."""
+    sparse = root / "sparse/0"
+    sparse.mkdir(parents=True)
+    rng = np.random.default_rng(1)
+    with open(sparse / "images.bin", "wb") as fh:
+        fh.write(struct.pack("<Q", n_images))
+        for i in range(n_images):
+            fh.write(struct.pack("<i", i + 1))
+            fh.write(struct.pack("<4d", 1, 0, 0, 0))
+            fh.write(struct.pack("<3d", 0, 0, 0))
+            fh.write(struct.pack("<i", 1))
+            fh.write(f"img_{i:03d}.png".encode() + b"\x00")
+            fh.write(struct.pack("<Q", 0))
+    # view v sees points [0 .. 5*(v+1)) -> later views see more
+    tracks = {p: [] for p in range(n_points)}
+    for v in range(n_images):
+        for p in range(min(5 * (v + 1), n_points)):
+            tracks[p].append(v + 1)
+    with open(sparse / "points3D.bin", "wb") as fh:
+        fh.write(struct.pack("<Q", n_points))
+        for p in range(n_points):
+            fh.write(struct.pack("<Q", p + 1))
+            fh.write(struct.pack("<3d", *rng.normal(size=3)))
+            fh.write(struct.pack("<3B", 128, 128, 128))
+            fh.write(struct.pack("<d", 0.5))
+            ims = tracks[p]
+            fh.write(struct.pack("<Q", len(ims)))
+            for im in ims:
+                fh.write(struct.pack("<2i", im, 0))
+
+
+def test_load_llff_data(tmp_path):
+    _write_llff_dataset(tmp_path)
+    images, poses, bds, render_poses, i_test = load_llff_data(
+        tmp_path, factor=1
+    )
+    assert images.shape == (6, 24, 32, 3)
+    assert images.dtype == np.float32 and images.max() <= 1.0
+    assert poses.shape == (6, 3, 5)
+    assert render_poses.shape == (120, 3, 5)
+    assert 0 <= i_test < 6
+    # bounds rescaled so bds.min() * 0.75 == 1
+    np.testing.assert_allclose(bds.min() * 0.75, 1.0, rtol=1e-5)
+    # recentred: average pose ~ identity
+    avg = poses_avg(poses)
+    np.testing.assert_allclose(avg[:3, :3], np.eye(3), atol=1e-5)
+    np.testing.assert_allclose(avg[:3, 3], 0.0, atol=1e-5)
+
+
+def test_load_llff_data_minify(tmp_path):
+    _write_llff_dataset(tmp_path, H=24, W=32)
+    images, poses, _, _, _ = load_llff_data(tmp_path, factor=2)
+    assert images.shape == (6, 12, 16, 3)
+    # hwf updated: focal halved
+    np.testing.assert_allclose(poses[0, 2, 4], 15.0, rtol=1e-5)
+    assert (tmp_path / "images_2").exists()
+
+
+def test_recenter_poses_identity_fixture():
+    rng = np.random.default_rng(0)
+    poses = np.tile(np.eye(3, 4, dtype=np.float32)[None], (5, 1, 1))
+    poses = np.concatenate(
+        [poses, np.tile(np.array([[24.0], [32.0], [30.0]], np.float32)[None], (5, 1, 1))], -1
+    )
+    poses[:, :3, 3] = rng.normal(0, 0.1, size=(5, 3))
+    rec = recenter_poses(poses)
+    np.testing.assert_allclose(rec[:, :3, 3].mean(0), 0.0, atol=1e-6)
+
+
+def test_colmap_readers_roundtrip(tmp_path):
+    _write_colmap_model(tmp_path)
+    ims = read_images_binary(tmp_path / "sparse/0/images.bin")
+    assert len(ims) == 6
+    assert ims[1].name == "img_000.png"
+    pts = read_points3d_binary(tmp_path / "sparse/0/points3D.bin")
+    assert len(pts) == 40
+    assert len(pts[1].image_ids) == 6  # point 0 seen by every view
+
+
+def test_greedy_reference_views(tmp_path):
+    _write_colmap_model(tmp_path)
+    i_train = [0, 1, 2, 3, 4]  # view 5 held out
+    refs = greedy_reference_views(tmp_path / "sparse/0", i_train, 2)
+    # view 4 sees the most points (25), then the greedy update leaves view
+    # count ordering intact for remaining coverage
+    assert refs[0] == 4
+    assert len(refs) == 2 and refs[1] != refs[0]
+    with pytest.raises(ValueError):
+        greedy_reference_views(tmp_path / "sparse/0", i_train, None)
+
+
+def test_load_llff_data_infer(tmp_path):
+    _write_llff_dataset(tmp_path)
+    _write_colmap_model(tmp_path)
+    images, poses, bds, rp, i_test, i_ref = load_llff_data_infer(
+        tmp_path, factor=1, num_neighbor=2, llffhold=3
+    )
+    np.testing.assert_array_equal(i_test, [0, 3])
+    assert len(i_ref) == 2
+    assert all(r not in i_test for r in i_ref)

@@ -1,0 +1,79 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pronerf_tpu.models import init_pronerf_params, RenderStatics
+from pronerf_tpu.render import prepare_scene
+from pronerf_tpu.render.renderer import make_frame_renderer, render_path
+from pronerf_tpu.render.export import (
+    export_renderer,
+    load_exported_renderer,
+    expected_artifact_paths,
+)
+from pronerf_tpu.utils.synthetic import make_scene
+
+
+def _setup(seed=0, H=20, W=24):
+    sc = make_scene(n_views=5, H=H, W=W, seed=seed)
+    scene = prepare_scene(sc["images"], sc["poses"], sc["K"])
+    params = init_pronerf_params(jax.random.PRNGKey(seed))
+    return sc, scene, params
+
+
+def test_frame_renderer_tiling_invariance():
+    sc, scene, params = _setup()
+    H, W, _ = sc["hwf"]
+    statics = RenderStatics.infer()
+    c2w = jnp.asarray(sc["poses"][2])
+    small = make_frame_renderer(statics, H, W, sc["K"], tile_rays=64)
+    big = make_frame_renderer(statics, H, W, sc["K"], tile_rays=H * W)
+    out_s = small(params, scene, c2w)
+    out_b = big(params, scene, c2w)
+    assert out_s["rgb1"].shape == (H, W, 3)
+    np.testing.assert_allclose(
+        np.asarray(out_s["rgb1"]), np.asarray(out_b["rgb1"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_s["depth"]), np.asarray(out_b["depth"]), atol=1e-5
+    )
+
+
+def test_render_path_outputs_and_pngs(tmp_path):
+    sc, scene, params = _setup()
+    H, W, _ = sc["hwf"]
+    res = render_path(
+        sc["poses"][:2],
+        params,
+        scene,
+        RenderStatics.stage1_sampler(randomize=False),
+        H, W, sc["K"],
+        gt_imgs=sc["images"][:2],
+        savedir=tmp_path,
+        tile_rays=128,
+    )
+    assert res["rgbs1"].shape == (2, H, W, 3)
+    assert len(res["psnrs"]) == 2 and len(res["psnrs0"]) == 2
+    assert all(np.isfinite(res["psnrs"]))
+    for name in ("000.png", "rgb0_000.png", "depth_000.png", "gt_000.png",
+                 "001.png"):
+        assert (tmp_path / name).exists(), name
+
+
+def test_export_roundtrip(tmp_path):
+    sc, scene, params = _setup()
+    H, W, _ = sc["hwf"]
+    paths = export_renderer(
+        params, scene, tmp_path, H, W, sc["K"], tile_rays=128
+    )
+    for p in expected_artifact_paths(tmp_path).values():
+        assert p.exists(), p
+    call, loaded_params, manifest = load_exported_renderer(tmp_path)
+    assert manifest["H"] == H and manifest["compute_dtype"] == "float32"
+    c2w = jnp.asarray(sc["poses"][1])
+    live = make_frame_renderer(
+        RenderStatics.infer(), H, W, sc["K"], tile_rays=128
+    )(params, scene, c2w)
+    aot = call(loaded_params, scene, c2w)
+    np.testing.assert_allclose(
+        np.asarray(aot["rgb1"]), np.asarray(live["rgb1"]), atol=1e-5
+    )

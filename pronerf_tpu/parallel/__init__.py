@@ -1,0 +1,7 @@
+from pronerf_tpu.parallel.data_parallel import (
+    make_ray_mesh,
+    shard_stage1_steps,
+    shard_stage2_step,
+    shard_batch,
+    replicate,
+)

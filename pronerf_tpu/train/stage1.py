@@ -43,6 +43,15 @@ def make_stage1_steps(cfg, H: int, W: int, focal: float):
       (state, scene, batch_rays [N,3,3], pose_ids [N], controls, lr)
         -> (state, metrics dict)
     """
+    nerf_fn, sampler_fn = build_stage1_step_fns(cfg, H, W, focal)
+    jit = partial(jax.jit, donate_argnums=(0,))
+    return jit(nerf_fn), jit(sampler_fn)
+
+
+def build_stage1_step_fns(cfg, H: int, W: int, focal: float):
+    """The raw (unjitted) step functions, shared by the single-chip jit
+    wrapper above and the sharded wrapper in
+    ``pronerf_tpu.parallel.data_parallel``."""
     tx = make_tx(cfg.weight_decay)
     statics_nerf = RenderStatics.stage1_nerf(
         noise_std=cfg.raw_noise_std,
@@ -62,7 +71,6 @@ def make_stage1_steps(cfg, H: int, W: int, focal: float):
         white_bkgd=cfg.white_bkgd,
     )
 
-    @partial(jax.jit, donate_argnums=(0,))
     def nerf_step(state, scene, batch_rays, pose_ids, controls, lr):
         rays = rays_from_pool(batch_rays[:, :2], pose_ids, H, W, focal)
         target = batch_rays[:, 2]
@@ -84,7 +92,6 @@ def make_stage1_steps(cfg, H: int, W: int, focal: float):
         )
         return new_state, {"loss": loss, "psnr": mse2psnr(loss)}
 
-    @partial(jax.jit, donate_argnums=(0,))
     def sampler_step(state, scene, batch_rays, pose_ids, controls, lr):
         rays = rays_from_pool(batch_rays[:, :2], pose_ids, H, W, focal)
         target = batch_rays[:, 2]

@@ -35,6 +35,13 @@ def init_stage2_state(params, weight_decay: float = 0.0) -> Dict[str, Any]:
 
 
 def make_stage2_step(cfg, H: int, W: int, focal: float):
+    return partial(jax.jit, donate_argnums=(0,))(
+        build_stage2_step_fn(cfg, H, W, focal)
+    )
+
+
+def build_stage2_step_fn(cfg, H: int, W: int, focal: float):
+    """Raw (unjitted) stage-2 step, shared with the sharded wrapper."""
     tx = make_tx(cfg.weight_decay)
     statics = RenderStatics.stage2(
         noise_std=cfg.raw_noise_std,
@@ -47,7 +54,6 @@ def make_stage2_step(cfg, H: int, W: int, focal: float):
     )
     a_mmrgb = float(cfg.a_mmrgb)
 
-    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state, scene, batch_rays, pose_ids, controls, lr):
         rays = rays_from_pool(batch_rays[:, :2], pose_ids, H, W, focal)
         target = batch_rays[:, 2]

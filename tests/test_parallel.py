@@ -1,0 +1,95 @@
+"""Sharded training on the 8-device virtual CPU mesh: the sharded step must
+run, reduce gradients across chips, and (up to fp reassociation) match the
+single-device step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pronerf_tpu.config import Config
+from pronerf_tpu.models import init_pronerf_params
+from pronerf_tpu.parallel import (
+    make_ray_mesh,
+    shard_batch,
+    shard_stage1_steps,
+    shard_stage2_step,
+)
+from pronerf_tpu.render import prepare_scene
+from pronerf_tpu.render.raygen import build_ray_pool
+from pronerf_tpu.train import make_stage1_steps, init_stage1_state
+from pronerf_tpu.train.stage2 import init_stage2_state
+from pronerf_tpu.utils.synthetic import make_scene
+
+
+def _setup(n_rand=128):
+    cfg = Config()
+    cfg.N_samples, cfg.N_point_ray_enc, cfg.num_neighbor = 8, 48, 4
+    cfg.mmnetdepth, cfg.raw_noise_std = 6, 1.0
+    sc = make_scene(n_views=6, H=20, W=24, seed=0)
+    H, W, focal = sc["hwf"]
+    scene = prepare_scene(sc["images"], sc["poses"], sc["K"])
+    params = init_pronerf_params(jax.random.PRNGKey(0), mmnetdepth=6)
+    rng = np.random.default_rng(0)
+    pool, ids = build_ray_pool(
+        sc["images"], sc["poses"], sc["K"], list(range(6)), 4, rng
+    )
+    controls = {
+        "rng": jax.random.PRNGKey(3),
+        "n_mult": jnp.int32(2),
+        "dir_expand": jnp.asarray(True),
+        "dir_jitter": jnp.asarray(False),
+        "neighbor_subset": jnp.asarray([0, 1, 2, 3], jnp.int32),
+        "target_t": jnp.zeros((3,), jnp.float32),
+    }
+    return cfg, sc, scene, params, pool[:n_rand], ids[:n_rand], controls
+
+
+def test_mesh_has_8_devices():
+    mesh = make_ray_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_stage1_matches_single_device():
+    cfg, sc, scene, params, pool, ids, controls = _setup()
+    H, W, focal = sc["hwf"]
+    mesh = make_ray_mesh()
+
+    # deterministic branch: no noise so single == sharded up to float assoc
+    cfg.raw_noise_std = 0.0
+    # donate_argnums deletes the input state's buffers: give each state its
+    # own copy of the params
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+    state_a = init_stage1_state(copy(params))
+    nerf_a, _ = make_stage1_steps(cfg, H, W, focal)
+    state_a, m_a = nerf_a(
+        state_a, scene, jnp.asarray(pool), jnp.asarray(ids), controls, 5e-4
+    )
+
+    state_b = init_stage1_state(copy(params))
+    nerf_b, sampler_b = shard_stage1_steps(cfg, H, W, focal, mesh)
+    batch_sh, ids_sh = shard_batch(mesh, jnp.asarray(pool), jnp.asarray(ids))
+    state_b, m_b = nerf_b(state_b, scene, batch_sh, ids_sh, controls, 5e-4)
+
+    np.testing.assert_allclose(
+        float(m_a["loss"]), float(m_b["loss"]), rtol=1e-5
+    )
+    wa = np.asarray(state_a["params"]["nerf"]["pts"][0]["w"])
+    wb = np.asarray(state_b["params"]["nerf"]["pts"][0]["w"])
+    np.testing.assert_allclose(wa, wb, atol=2e-6)
+
+    # sampler step must also run sharded
+    state_b, m_b2 = sampler_b(state_b, scene, batch_sh, ids_sh, controls, 5e-4)
+    assert np.isfinite(float(m_b2["loss"]))
+
+
+def test_sharded_stage2_runs():
+    cfg, sc, scene, params, pool, ids, controls = _setup()
+    H, W, focal = sc["hwf"]
+    mesh = make_ray_mesh()
+    state = init_stage2_state(params)
+    step = shard_stage2_step(cfg, H, W, focal, mesh)
+    batch_sh, ids_sh = shard_batch(mesh, jnp.asarray(pool), jnp.asarray(ids))
+    state, m = step(state, scene, batch_sh, ids_sh, controls, 3e-4)
+    assert np.isfinite(float(m["loss"]))
+    assert int(state["global_step"]) == 1

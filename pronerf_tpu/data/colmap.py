@@ -144,10 +144,23 @@ def build_visibility_matrix(sparse_dir, i_train) -> np.ndarray:
     imdata = read_images_binary(sparse_dir / "images.bin")
     ordered = sorted(imdata.values(), key=lambda im: im.name)
     image_id_to_dataset_idx = {im.id: i for i, im in enumerate(ordered)}
-    pts3d = read_points3d_binary(sparse_dir / "points3D.bin")
-
     i_train = list(i_train)
     train_rank = {idx: r for r, idx in enumerate(i_train)}
+
+    # Fast path: single-pass C++ track scan (native/pronerf_native.cpp).
+    from pronerf_tpu.native import colmap_visibility_native
+
+    max_id = max(image_id_to_dataset_idx) if image_id_to_dataset_idx else 0
+    rank_map = np.full((max_id + 1,), -1, np.int32)
+    for im_id, ds_idx in image_id_to_dataset_idx.items():
+        rank_map[im_id] = train_rank.get(ds_idx, -1)
+    vis = colmap_visibility_native(
+        sparse_dir / "points3D.bin", rank_map, len(i_train)
+    )
+    if vis is not None:
+        return vis
+
+    pts3d = read_points3d_binary(sparse_dir / "points3D.bin")
     vis = np.zeros((len(i_train), len(pts3d)), dtype=np.float32)
     for col, pt in enumerate(pts3d.values()):
         for im_id in pt.image_ids:

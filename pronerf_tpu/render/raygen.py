@@ -80,7 +80,24 @@ def build_ray_pool(images, poses, K, i_train, num_neighbor: int, rng: np.random.
       rays: [M, 3, 3] float32 (origin, direction, rgb),
       view_ids: [M] int32 index INTO THE TRAIN SUBSET (0..len(i_train)-1),
       perm-shuffled consistently.
+
+    Uses the multithreaded C++ builder (``native/pronerf_native.cpp``) when
+    available; the permutation differs between the native (mt19937_64
+    Fisher-Yates) and NumPy paths but both are seeded and uniform.
     """
+    from pronerf_tpu.native import build_ray_pool_native
+
+    native = build_ray_pool_native(
+        np.ascontiguousarray(images[list(i_train)]),
+        np.ascontiguousarray(
+            np.asarray(poses)[list(i_train)][:, :3, :4]
+        ),
+        K,
+        seed=int(rng.integers(0, 2**63 - 1)),
+    )
+    if native is not None:
+        return native
+
     from pronerf_tpu.ops.rays import get_rays_np
 
     T = len(i_train)

@@ -1,0 +1,4 @@
+from pronerf_tpu.kernels.fused_nerf import (
+    pack_nerf_params,
+    fused_nerf_composite,
+)

@@ -77,6 +77,7 @@ class RenderStatics:
     max_expand: int = 64
     offset_scale: float = 1e-2
     compute_dtype: Optional[str] = None  # 'bfloat16' for the inference path
+    use_pallas: bool = False  # fused PE->NeRF->composite kernel (inference)
 
     # -- factories reproducing the reference's behavior matrix ------------
     @staticmethod
@@ -115,14 +116,19 @@ class RenderStatics:
         )
 
     @staticmethod
-    def infer(compute_dtype: Optional[str] = None, **kw) -> "RenderStatics":
+    def infer(
+        compute_dtype: Optional[str] = None,
+        use_pallas: bool = False,
+        **kw,
+    ) -> "RenderStatics":
         """Deterministic inference (the reference's TRT-path semantics,
-        ``run_S_eS_eN_alter_trt.py:599-696``), optionally in bfloat16."""
+        ``run_S_eS_eN_alter_trt.py:599-696``), optionally in bfloat16 and/or
+        through the fused Pallas NeRF+composite kernel."""
         return RenderStatics(
             near=0.0, ndc_eps=1e-5, epi_layout="vsc", randomize=False,
             stop_sampler_grad=False, explore=False, jitter=False,
             add_offsets=True, use_mm=True, clamp_raw=False, noise_std=0.0,
-            compute_dtype=compute_dtype, **kw,
+            compute_dtype=compute_dtype, use_pallas=use_pallas, **kw,
         )
 
 
@@ -289,6 +295,46 @@ def render_rays(params, rays, scene, controls, statics: RenderStatics):
     query_pts = ray_points(ndc_o, ndc_d, z_vals)
     if statics.add_offsets:
         query_pts = query_pts + statics.offset_scale * points_offset
+
+    # 6a. Fused Pallas path (inference only): PE + NeRF MLP + compositing in
+    # one kernel with VMEM-resident weights/activations.
+    if statics.use_pallas:
+        assert (
+            statics.use_mm
+            and not statics.clamp_raw
+            and statics.noise_std == 0.0
+            and not statics.explore
+            and not statics.white_bkgd
+        ), "the fused kernel implements inference compositing semantics only"
+        from pronerf_tpu.kernels.fused_nerf import (
+            fused_nerf_composite,
+            pack_nerf_params,
+        )
+
+        packed = params.get("nerf_packed")
+        if packed is None:
+            packed = pack_nerf_params(
+                params["nerf"],
+                jnp.bfloat16 if cdt is not None else jnp.float32,
+            )
+        dnorm = jnp.linalg.norm(ndc_d, axis=-1)
+        fused = fused_nerf_composite(
+            packed, query_pts, rays["viewdirs"], z_vals, dnorm,
+            mm_add, mm_mul,
+            interpret=jax.default_backend() != "tpu",
+        )
+        acc = fused["acc"]
+        return {
+            "rgb0": refine_rgb,
+            "rgb1": fused["rgb"],
+            "depth": fused["depth"],
+            "disp": 1.0 / jnp.maximum(1e-10, fused["depth"] / acc),
+            "acc": acc,
+            "weights": jnp.zeros_like(z_vals),
+            "mm_rgb": mm_rgb,
+            "depth0": jnp.mean(z_vals, axis=-1),
+            "sigma": jnp.zeros_like(z_vals),
+        }
 
     # 6. NeRF MLP + compositing.
     x_pe = positional_encoding(query_pts, statics.multires)

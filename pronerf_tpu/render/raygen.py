@@ -14,20 +14,25 @@ import jax.numpy as jnp
 import numpy as np
 
 from pronerf_tpu.ops.rays import get_rays, ndc_rays
-from pronerf_tpu.ops.warp import fuse_projection
+from pronerf_tpu.ops.warp import build_corner_stack, fuse_projection
 
 
-def prepare_scene(images, poses, K):
+def prepare_scene(images, poses, K, pack_corners: bool = True):
     """Device-side scene bundle for :func:`pronerf_tpu.models.render_rays`.
 
     Args:
       images: [T, H, W, 3] float32 training images.
       poses: [T, 3, 4] c2w training poses.
       K: [3, 3] shared intrinsics.
+      pack_corners: store the 12-channel corner stack (4x memory) so the
+        epipolar warp needs ONE gather per sample point instead of four.
     """
     poses = jnp.asarray(poses)
+    images = jnp.asarray(images)
+    if pack_corners:
+        images = build_corner_stack(images)
     return {
-        "images": jnp.asarray(images),
+        "images": images,
         "fused_mats": fuse_projection(poses),
         "K": jnp.asarray(K),
         "poses_t": poses[:, :3, 3],

@@ -50,6 +50,19 @@ def make_frame_renderer(
     K = np.asarray(K)
 
     def render_frame(params, scene, c2w):
+        if statics.use_pallas and "nerf_packed" not in params:
+            # pack once, outside the tile loop
+            from pronerf_tpu.kernels.fused_nerf import pack_nerf_params
+            import jax.numpy as _jnp
+
+            params = dict(
+                params,
+                nerf_packed=pack_nerf_params(
+                    params["nerf"],
+                    _jnp.bfloat16 if statics.compute_dtype == "bfloat16"
+                    else _jnp.float32,
+                ),
+            )
         rays = rays_for_pose(H, W, K, c2w)
         tiled, n = _pad_and_tile(rays, tile_rays)
         controls = {

@@ -101,6 +101,26 @@ def test_epipolar_colors_self_view_recovers_image():
         np.testing.assert_allclose(cols[:, 0, s], expect, atol=1e-3)
 
 
+def test_packed_bilinear_matches_unpacked():
+    from pronerf_tpu.ops.warp import bilinear_sample_packed, build_corner_stack
+
+    rng = np.random.default_rng(4)
+    T, H, W = 3, 11, 14
+    imgs = rng.uniform(0.1, 1.0, size=(T, H, W, 3)).astype(np.float32)
+    n = 400
+    xn = rng.uniform(-1.3, 1.3, size=n).astype(np.float32)
+    yn = rng.uniform(-1.3, 1.3, size=n).astype(np.float32)
+    vidx = rng.integers(0, T, size=n).astype(np.int32)
+    plain = bilinear_sample(
+        jnp.asarray(imgs), jnp.asarray(vidx), jnp.asarray(xn), jnp.asarray(yn)
+    )
+    stack = build_corner_stack(jnp.asarray(imgs))
+    packed = bilinear_sample_packed(
+        stack, jnp.asarray(vidx), jnp.asarray(xn), jnp.asarray(yn)
+    )
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(plain), atol=1e-6)
+
+
 def test_mean_fill_invalid():
     c = np.zeros((1, 3, 1, 3), np.float32)
     c[0, 0, 0] = [0.2, 0.4, 0.6]

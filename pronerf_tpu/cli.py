@@ -99,6 +99,15 @@ def cmd_eval(args):
     cmd_infer(args)
 
 
+def cmd_render_path(args):
+    from pronerf_tpu.render.infer import run_render_path
+
+    run_render_path(
+        _build_cfg(args, DEFAULT_TRT_CONFIG),
+        n_frames=args.n_frames, fps=args.fps,
+    )
+
+
 def cmd_export(args):
     from pronerf_tpu.render.infer import run_export
 
@@ -162,6 +171,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--timing-reps", type=int, default=0, dest="timing_reps")
     _add_passthrough(p)
     p.set_defaults(func=cmd_eval)
+
+    p = sub.add_parser("render-path", help="render the spiral camera path to video")
+    p.add_argument("--config", default=None)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--use-trt", action="store_true", dest="use_trt")
+    p.add_argument("--n-frames", type=int, default=None, dest="n_frames")
+    p.add_argument("--fps", type=int, default=30)
+    _add_passthrough(p)
+    p.set_defaults(func=cmd_render_path)
 
     for name in ("export", "export-trt"):
         p = sub.add_parser(

@@ -92,6 +92,8 @@ class Config:
     refine_engine_path: Optional[str] = None
     max_images: Optional[int] = None
     # TPU-native extensions (not in the reference)
+    netarch: str = "nerf"                # radiance family: 'nerf' | 'donerf'
+    use_pallas: bool = False             # fused Pallas inference kernel
     compute_dtype: Optional[str] = None  # 'bfloat16' inference fast path
     tile_rays: int = 8192                # full-frame render tile size
     seed: int = 0

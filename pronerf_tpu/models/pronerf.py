@@ -78,6 +78,7 @@ class RenderStatics:
     offset_scale: float = 1e-2
     compute_dtype: Optional[str] = None  # 'bfloat16' for the inference path
     use_pallas: bool = False  # fused PE->NeRF->composite kernel (inference)
+    netarch: str = "nerf"     # radiance-field family: 'nerf' | 'donerf'
 
     # -- factories reproducing the reference's behavior matrix ------------
     @staticmethod
@@ -135,6 +136,7 @@ class RenderStatics:
 def init_pronerf_params(
     key,
     *,
+    netarch: str = "nerf",
     netdepth: int = 8,
     netwidth: int = 256,
     mmnetdepth: int = 6,
@@ -157,10 +159,18 @@ def init_pronerf_params(
     k1, k2, k3 = jax.random.split(key, 3)
     input_ch = posenc_dim(3, multires)
     input_ch_views = posenc_dim(3, multires_views)
-    return {
-        "nerf": init_nerf_mlp(
+    if netarch == "donerf":
+        from pronerf_tpu.models.donerf import init_donerf
+
+        nerf = init_donerf(
+            k1, netdepth, netwidth, input_ch, input_ch_views, 4, dtype=dtype
+        )
+    else:
+        nerf = init_nerf_mlp(
             k1, netdepth, netwidth, input_ch, input_ch_views, tuple(netskips), dtype
-        ),
+        )
+    return {
+        "nerf": nerf,
         "sampler": init_minmax_mlp(
             k2, mmnetdepth, mmnetwidth, 6 * N_point_ray_enc,
             3 * N_samples + 3, tuple(mmnetskips), dtype,
@@ -342,7 +352,12 @@ def render_rays(params, rays, scene, controls, statics: RenderStatics):
     d_pe = jnp.broadcast_to(
         d_pe[:, None, :], (n_rays, z_vals.shape[-1], d_pe.shape[-1])
     )
-    raw = nerf_mlp_apply(params["nerf"], x_pe, d_pe, statics.netskips, cdt)
+    if statics.netarch == "donerf":
+        from pronerf_tpu.models.donerf import donerf_apply
+
+        raw = donerf_apply(params["nerf"], x_pe, d_pe, compute_dtype=cdt)
+    else:
+        raw = nerf_mlp_apply(params["nerf"], x_pe, d_pe, statics.netskips, cdt)
 
     noise = None
     if statics.noise_std > 0.0:

@@ -103,6 +103,46 @@ def explore_expand(z_vals, n_mult, direction_up, near, far, max_total: int = 64)
     return z_exp, S * n_mult
 
 
+def sample_pdf(key, bins, weights, n_samples: int, det: bool = False):
+    """Hierarchical inverse-CDF sampling (the classic NeRF importance
+    sampler; kept for API parity — the release configs run N_importance=0,
+    reference ``run_nerf_helpers.py:2804-2847``).
+
+    Args:
+      key: PRNGKey (ignored when det).
+      bins: [N, B] bin edges (sorted).
+      weights: [N, B-1] unnormalized weights.
+      n_samples: samples to draw per ray.
+      det: deterministic (midpoint linspace) instead of uniform draws.
+
+    Returns: [N, n_samples] samples.
+    """
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
+
+    if det:
+        u = jnp.linspace(0.0, 1.0, n_samples, dtype=cdf.dtype)
+        u = jnp.broadcast_to(u, (*cdf.shape[:-1], n_samples))
+    else:
+        u = jax.random.uniform(key, (*cdf.shape[:-1], n_samples), cdf.dtype)
+
+    inds = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(cdf, u)
+    below = jnp.maximum(0, inds - 1)
+    above = jnp.minimum(cdf.shape[-1] - 1, inds)
+
+    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
+    bin_b = jnp.take_along_axis(bins, below, axis=-1)
+    bin_a = jnp.take_along_axis(bins, above, axis=-1)
+
+    denom = cdf_a - cdf_b
+    denom = jnp.where(denom < 1e-5, 1.0, denom)
+    t = (u - cdf_b) / denom
+    return bin_b + t * (bin_a - bin_b)
+
+
 def gap_jitter(key, z_vals, near, far, direction_up, max_noise: float):
     """One-sided gap-scaled Gaussian jitter shared by stage-1 exploration
     (max_noise=0.99) and stage-2 training (max_noise=1-2e-6).

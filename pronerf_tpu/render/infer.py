@@ -47,6 +47,7 @@ def load_inference_data(cfg: Config):
         return {
             "images": images, "poses": poses, "i_test": i_test,
             "i_ref": i_ref, "H": H, "W": W, "focal": focal, "K": K,
+            "render_poses": poses[i_train][:6],
         }
     from pronerf_tpu.data.llff import load_llff_data_infer
 
@@ -63,12 +64,15 @@ def load_inference_data(cfg: Config):
     return {
         "images": images, "poses": poses[:, :3, :4], "i_test": i_test,
         "i_ref": i_ref, "H": H, "W": W, "focal": focal, "K": K,
+        "render_poses": np.asarray(render_poses)[:, :3, :4],
     }
 
 
 def _infer_statics(cfg: Config, use_bf16: bool) -> RenderStatics:
     return RenderStatics.infer(
         compute_dtype="bfloat16" if use_bf16 else cfg.compute_dtype,
+        use_pallas=cfg.use_pallas and cfg.netarch == "nerf",
+        netarch=cfg.netarch,
         N_samples=cfg.N_samples,
         N_point_ray_enc=cfg.N_point_ray_enc,
         num_neighbor=cfg.num_neighbor,
@@ -164,3 +168,28 @@ def run_export(cfg: Config, height: int = 756, width: int = 1008):
     )
     print(f"Exported AOT renderer to {paths['executable']}")
     return paths
+
+
+def run_render_path(cfg: Config, n_frames: int | None = None, fps: int = 30):
+    """``render-path``: render the spiral camera path (the reference's
+    ``render_poses``, ``load_llff.py:176-185``) and save an mp4/gif."""
+    from pronerf_tpu.render.renderer import save_video
+
+    data = load_inference_data(cfg)
+    expdir = setup_expdir(cfg)
+    params = _load_params(cfg, expdir)
+    scene = prepare_scene(
+        data["images"][data["i_ref"]], data["poses"][data["i_ref"]], data["K"]
+    )
+    statics = _infer_statics(cfg, use_bf16=cfg.use_trt)
+    poses = data["render_poses"]
+    if n_frames is not None:
+        poses = poses[:n_frames]
+    result = render_path(
+        poses, params, scene, statics, data["H"], data["W"], data["K"],
+        savedir=None, tile_rays=cfg.tile_rays,
+        render_factor=cfg.render_factor,
+    )
+    out = save_video(result["rgbs1"], expdir / "render_path.mp4", fps=fps)
+    print(f"Saved render path video: {out} ({len(poses)} frames)")
+    return out

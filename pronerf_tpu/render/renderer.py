@@ -181,3 +181,21 @@ def render_path(
         print(psnrs0)
         print(f"Mean Test PSNR {float(np.mean(psnrs0))}")
     return result
+
+
+def save_video(frames, path, fps: int = 30) -> str:
+    """Write a [N, H, W, 3] float stack as mp4 (gif fallback when no ffmpeg
+    backend is available). Used by the ``render-path`` spiral video verb."""
+    import imageio.v2 as imageio
+
+    from pronerf_tpu.ops.metrics import to8b
+
+    frames8 = [to8b(f) for f in np.asarray(frames)]
+    path = str(path)
+    try:
+        imageio.mimwrite(path, frames8, fps=fps, quality=8)
+        return path
+    except Exception:
+        gif = path.rsplit(".", 1)[0] + ".gif"
+        imageio.mimwrite(gif, frames8, duration=1.0 / fps)
+        return gif

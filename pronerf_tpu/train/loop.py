@@ -202,6 +202,7 @@ def load_params_for_inference(ckpt_file, params_template) -> dict:
 def _init_params(cfg: Config, key):
     return init_pronerf_params(
         key,
+        netarch=cfg.netarch,
         netdepth=cfg.netdepth,
         netwidth=cfg.netwidth,
         mmnetdepth=cfg.mmnetdepth,
@@ -284,6 +285,9 @@ def run_training(cfg: Config, stage: int):
     if cfg.max_steps is not None:
         n_iters = start + cfg.max_steps + 1
 
+    from pronerf_tpu.utils.logging import MetricsLogger, save_image_log
+
+    logger = MetricsLogger(expdir)
     print(f"Begin stage {stage}: iters [{start + 1}, {n_iters}) "
           f"res {W}x{H} train views {len(i_train)} test views {len(i_test)}")
     t_start = time.time()
@@ -320,6 +324,9 @@ def run_training(cfg: Config, stage: int):
                 f"[TRAIN] Iter: {i} Loss: {loss_val:.6f} PSNR: {psnr_val:.3f} "
                 f"lr: {lr:.3e} it/s: {rate:.2f}"
             )
+            logger.log(i, loss=loss_val, psnr=psnr_val, lr=lr, it_per_s=rate,
+                       branch="nerf" if (stage == 1 and i % 2 != 0) else
+                       ("sampler" if stage == 1 else "joint"))
 
         if i % cfg.i_weights == 0:
             path = checkpoint_path(expdir, i)
@@ -328,6 +335,26 @@ def run_training(cfg: Config, stage: int):
             else:
                 save_checkpoint(path, stage2_ckpt(state, vestigial_nerf))
             print(f"Saved checkpoints at {path}")
+
+        if cfg.i_img > 0 and i % cfg.i_img == 0 and len(i_test) > 0:
+            # implemented i_img (vestigial in the reference): one held-out
+            # render logged as PNG
+            from pronerf_tpu.render.renderer import make_frame_renderer
+
+            statics_img = (
+                RenderStatics.stage1_sampler(randomize=False)
+                if stage == 1 else RenderStatics.stage2(randomize=False)
+            )
+            statics_img = dataclasses.replace(
+                statics_img, netarch=cfg.netarch, N_samples=cfg.N_samples,
+                N_point_ray_enc=cfg.N_point_ray_enc,
+                num_neighbor=cfg.num_neighbor, multires=cfg.multires,
+                multires_views=cfg.multires_views, white_bkgd=cfg.white_bkgd,
+            )
+            r = make_frame_renderer(statics_img, H, W, K, cfg.tile_rays)
+            out = r(state["params"], scene,
+                    jnp.asarray(data["poses"][i_test[0]]))
+            save_image_log(expdir, i, "test0", np.asarray(out["rgb1"]))
 
         if cfg.i_testset > 0 and i % cfg.i_testset == 0 and i > start + 1:
             testsavedir = expdir / f"testset_{i:06d}"
@@ -338,6 +365,7 @@ def run_training(cfg: Config, stage: int):
             )
             statics = dataclasses.replace(
                 statics,
+                netarch=cfg.netarch,
                 N_samples=cfg.N_samples,
                 N_point_ray_enc=cfg.N_point_ray_enc,
                 num_neighbor=cfg.num_neighbor,

@@ -61,6 +61,7 @@ def build_stage1_step_fns(cfg, H: int, W: int, focal: float):
         multires=cfg.multires,
         multires_views=cfg.multires_views,
         white_bkgd=cfg.white_bkgd,
+        netarch=cfg.netarch,
     )
     statics_sampler = RenderStatics.stage1_sampler(
         N_samples=cfg.N_samples,
@@ -69,6 +70,7 @@ def build_stage1_step_fns(cfg, H: int, W: int, focal: float):
         multires=cfg.multires,
         multires_views=cfg.multires_views,
         white_bkgd=cfg.white_bkgd,
+        netarch=cfg.netarch,
     )
 
     def nerf_step(state, scene, batch_rays, pose_ids, controls, lr):

@@ -51,6 +51,7 @@ def build_stage2_step_fn(cfg, H: int, W: int, focal: float):
         multires=cfg.multires,
         multires_views=cfg.multires_views,
         white_bkgd=cfg.white_bkgd,
+        netarch=cfg.netarch,
     )
     a_mmrgb = float(cfg.a_mmrgb)
 

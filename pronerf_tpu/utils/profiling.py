@@ -1,0 +1,107 @@
+"""Tracing / profiling utilities — the TPU-native replacement for the
+reference's CUDA-event timing + ptflops counters (SURVEY.md §5).
+
+- ``device_timer``: wall timing with a forced device readback (NOTE: on the
+  tunneled axon backend ``block_until_ready`` returns early, so timing must
+  read a value back to host; this helper does).
+- ``amortized_timer``: runs a carry->carry function K times inside one
+  compiled ``lax.scan`` and divides — removes per-dispatch overhead.
+- ``trace``: context manager around ``jax.profiler`` trace collection.
+- ``pipeline_macs``: analytic MACs/frame for the three MLPs (the ptflops
+  analogue; exact for dense layers).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+import numpy as np
+
+
+def readback(x):
+    """Force a device->host read of one leaf (true synchronization)."""
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return np.asarray(leaf.ravel()[0:1])
+
+
+def device_timer(fn, *args, reps: int = 5):
+    """Median wall ms of fn(*args) with forced readback (includes one
+    dispatch round-trip)."""
+    readback(fn(*args))  # warm / compile
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        readback(fn(*args))
+        times.append((time.perf_counter() - t0) * 1e3)
+    return float(np.median(times))
+
+
+def amortized_timer(step_fn, init_carry, iters: int = 8, reps: int = 3,
+                    null_ms: float = 0.0):
+    """Per-iteration ms of ``carry -> carry`` step_fn, amortized over a
+    scan of ``iters`` inside one dispatch."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def loop(c):
+        def body(c, _):
+            return step_fn(c), ()
+
+        c, _ = jax.lax.scan(body, c, None, length=iters)
+        return c
+
+    readback(loop(init_carry))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        readback(loop(init_carry))
+        times.append((time.perf_counter() - t0) * 1e3)
+    return (float(np.median(times)) - null_ms) / iters
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """``with trace('/tmp/jax-trace'): ...`` -> profile for TensorBoard."""
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def _dense_macs(dims):
+    return sum(a * b for a, b in dims)
+
+
+def pipeline_macs(H: int, W: int, *, N_samples=8, N_point_ray_enc=48,
+                  num_neighbor=4, netwidth=256, mmnetwidth=256,
+                  netdepth=8, mmnetdepth=6):
+    """Analytic MACs per frame, split per net (the reference prints the
+    sampler+refine total via ptflops, ``run_S_eS_eN_alter_trt.py:320-344``)."""
+    rays = H * W
+    pts = rays * N_samples
+    W_ = netwidth
+    nerf_dims = (
+        [(63, W_)] + [(W_, W_)] * 4 + [(W_ + 63, W_)] + [(W_, W_)] * 2
+        + [(W_, 1), (W_, W_), (W_ + 27, W_ // 2), (W_ // 2, 3)]
+    )
+    mm_in = 6 * N_point_ray_enc
+    mw = mmnetwidth
+    sampler_dims = [(mm_in, mw)] + [(mw, mw)] * (mmnetdepth - 1) + [
+        (mw, 3 * N_samples + 3)
+    ]
+    ref_in = 6 * N_samples + 3 * num_neighbor * N_samples
+    refine_dims = [(ref_in, mw)] + [(mw, mw)] * (mmnetdepth - 1) + [
+        (mw, 4 * N_samples + 3)
+    ]
+    return {
+        "nerf": pts * _dense_macs(nerf_dims),
+        "sampler": rays * _dense_macs(sampler_dims),
+        "refine": rays * _dense_macs(refine_dims),
+    }

@@ -160,3 +160,35 @@ def test_pipeline_jit_and_nmult_traced():
     o2 = fn(params, rays, scene, controls2)
     assert np.all(np.isfinite(np.asarray(o2["rgb1"])))
     assert fn._cache_size() == 1
+
+
+def test_donerf_family():
+    from pronerf_tpu.models.donerf import (
+        auto_skip, donerf_apply, init_donerf, parse_skip_grammar,
+    )
+    from pronerf_tpu.models import render_rays as rr
+
+    locs = parse_skip_grammar("0::63-7:63:", 90)
+    assert locs == {0: (0, 63), 7: (63, 90)}
+    assert auto_skip(8) == "0::63-7:63:"
+
+    params = init_donerf(jax.random.PRNGKey(0))
+    x = jnp.ones((6, 5, 63))
+    d = jnp.ones((6, 5, 27))
+    out = donerf_apply(params, x, d)
+    assert out.shape == (6, 5, 4)
+    # view direction must influence the output (injected at layer 7)
+    out2 = donerf_apply(params, x, -d)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_pipeline_donerf_arch():
+    from pronerf_tpu.models import init_pronerf_params as initp
+
+    _, rays, scene, controls = _tiny_setup()
+    params = initp(jax.random.PRNGKey(0), netarch="donerf")
+    out = render_rays(
+        params, rays, scene, controls,
+        RenderStatics.infer(netarch="donerf"),
+    )
+    assert np.all(np.isfinite(np.asarray(out["rgb1"])))

@@ -90,3 +90,18 @@ def test_gap_jitter_preserves_order_and_bounds():
             assert np.all(out >= z - 1e-7)
         else:
             assert np.all(out <= z + 1e-7)
+
+
+def test_sample_pdf_concentrates_on_heavy_bins():
+    from pronerf_tpu.ops.sampling import sample_pdf
+
+    n = 64
+    bins = jnp.broadcast_to(jnp.linspace(0.0, 1.0, 9), (n, 9))
+    w = jnp.zeros((n, 8)).at[:, 3].set(10.0)  # all mass in bin [0.375, 0.5]
+    s = np.asarray(sample_pdf(jax.random.PRNGKey(0), bins, w, 16))
+    assert s.shape == (n, 16)
+    frac_in = np.mean((s >= 0.375 - 1e-3) & (s <= 0.5 + 1e-3))
+    assert frac_in > 0.95
+    # deterministic variant spans the CDF monotonically
+    sd = np.asarray(sample_pdf(jax.random.PRNGKey(0), bins, w, 16, det=True))
+    assert np.all(np.diff(sd, axis=-1) >= -1e-6)

@@ -84,3 +84,25 @@ def test_eval_bf16_smoke(workdir, capsys):
     )
     out = capsys.readouterr().out
     assert "Mean Test PSNR" in out
+
+
+def test_metrics_jsonl_and_i_img(workdir):
+    import json
+
+    metrics = workdir / "s1" / "metrics.jsonl"
+    assert metrics.exists()
+    recs = [json.loads(l) for l in metrics.read_text().splitlines()]
+    assert any("loss" in r for r in recs)
+
+
+def test_render_path_video(workdir, capsys):
+    s2_ckpt = sorted((workdir / "s2").glob("*.ckpt"))[-1]
+    main(
+        ["render-path", "--n-frames", "2", "--fps", "4",
+         "--checkpoint", str(s2_ckpt)]
+        + _common(workdir, "vid")
+    )
+    out = capsys.readouterr().out
+    assert "Saved render path video" in out
+    vids = list((workdir / "vid").glob("render_path.*"))
+    assert vids

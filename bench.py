@@ -3,9 +3,14 @@
 Protocol (mirrors the reference's measurement machinery, BASELINE.md):
 - fern training resolution 504x378 (factor 4), 8 samples/ray, 48
   ray-encoding points, 4 neighbor views, the release model sizes;
-- the bfloat16 MXU fast path (the analogue of the TRT FP16 engines);
-- per-frame latency = median of 20 timed renders after warmup, matching the
-  reference's 20x CUDA-event protocol (``run_S_eS_eN_alter_trt.py:326-332``).
+- the bfloat16 MXU fast path with the u8-packed epipolar gather (the
+  analogue of the TRT FP16 engines; bit-exact colors for 8-bit sources);
+- per-frame latency amortized over a scan of renders inside ONE dispatch,
+  minus the measured null dispatch+readback time. (This matters here: the
+  tunneled TPU adds ~30 ms per dispatch round-trip, and its
+  block_until_ready returns early, so naive per-call timing is wrong in
+  both directions. The reference's 20x CUDA-event loop measures the same
+  steady-state quantity.)
 
 The reference publishes no numbers (BASELINE.json: "published": {}), so
 ``vs_baseline`` is reported against the real-time budget the paper's
@@ -24,38 +29,64 @@ import time
 import numpy as np
 
 
-def run_bench(H=378, W=504, reps=20, compute_dtype="bfloat16"):
+def _null_ms(reps: int = 5) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from pronerf_tpu.utils.profiling import readback
+
+    f0 = jax.jit(lambda x: x + 1.0)
+    readback(f0(jnp.zeros(())))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        readback(f0(jnp.zeros(())))
+        times.append((time.perf_counter() - t0) * 1e3)
+    return float(np.median(times))
+
+
+def run_bench(H=378, W=504, frames_per_loop=6, reps=4,
+              compute_dtype="bfloat16", use_pallas=False):
     import jax
     import jax.numpy as jnp
 
     from pronerf_tpu.models import RenderStatics, init_pronerf_params
     from pronerf_tpu.render import prepare_scene
     from pronerf_tpu.render.renderer import make_frame_renderer
+    from pronerf_tpu.utils.profiling import amortized_timer, readback
     from pronerf_tpu.utils.synthetic import make_scene
 
     # Fern-scale scene: 17 training views at the bench resolution.
     sc = make_scene(n_views=17, H=H, W=W, focal=0.8 * W, seed=0)
     scene = prepare_scene(sc["images"], sc["poses"], sc["K"])
     params = init_pronerf_params(jax.random.PRNGKey(0))
-    statics = RenderStatics.infer(compute_dtype=compute_dtype)
+    statics = RenderStatics.infer(
+        compute_dtype=compute_dtype, use_pallas=use_pallas
+    )
     renderer = make_frame_renderer(statics, H, W, sc["K"], tile_rays=16384)
     c2w = jnp.asarray(sc["poses"][0])
 
-    out = jax.block_until_ready(renderer(params, scene, c2w))  # compile+warm
+    out = renderer(params, scene, c2w)  # compile + warm
+    readback(out["rgb1"])
     assert np.all(np.isfinite(np.asarray(out["rgb1"])))
 
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(renderer(params, scene, c2w))
-        times.append((time.perf_counter() - t0) * 1e3)
-    ms = float(np.median(times))
-    rays_per_s = H * W / ms * 1e3
-    return ms, rays_per_s, times
+    null = _null_ms()
+
+    def frame_step(c):
+        o = renderer(params, scene, c2w + 1e-7 * c)
+        return c + o["rgb1"][0, 0, 0] * 1e-9
+
+    samples = [
+        amortized_timer(frame_step, jnp.float32(0), iters=frames_per_loop,
+                        null_ms=null)
+        for _ in range(reps)
+    ]
+    ms = float(np.median(samples))
+    return ms, H * W / ms * 1e3, null
 
 
 def main():
-    ms, rays_per_s, times = run_bench()
+    ms, rays_per_s, null = run_bench()
     budget_ms = 1000.0 / 30.0  # 30 FPS real-time budget at 504x378
     result = {
         "metric": "llff_fern_504x378_render_ms_per_frame_bf16",
@@ -64,9 +95,9 @@ def main():
         "vs_baseline": round(budget_ms / ms, 3),
         "extra": {
             "rays_per_sec": round(rays_per_s),
-            "min_ms": round(float(np.min(times)), 3),
-            "reps": len(times),
+            "dispatch_null_ms": round(null, 2),
             "samples_per_ray": 8,
+            "warp": "u8-packed corner gather",
         },
     }
     print(json.dumps(result))

@@ -2,17 +2,18 @@
 NeRF MLP (8x256, skip@4, view branch) -> alpha compositing.
 
 Why a kernel: under plain XLA each MLP layer's [P, 256] activation round-
-trips through HBM (measured ~16 ms/frame at fern scale, vs ~4 ms of MXU
-time). Here the whole chain runs per ray-block with weights and activations
-resident in VMEM; HBM traffic is just points in, composited rays out.
+trips through HBM (~16 ms/frame at fern scale vs ~4 ms of MXU time); here
+the chain runs per ray-block with weights and activations resident in VMEM.
 
-Layout: weights are pre-padded (``pack_nerf_params``) so every contraction
-is lane-aligned:
-- encoded position 63ch -> padded 64; skip concat 319 -> 320;
-- view branch input 256+27 -> 288 (27ch dir encoding zero-padded);
-- alpha/rgb heads padded to 128 output lanes (cols 0.. hold the signal).
-Matmuls run in bf16 with f32 MXU accumulation (matching the bf16 fast-path
-semantics of the XLA renderer); compositing math stays f32.
+Kernel-shaping decisions (all matter on the VPU/MXU):
+- the positional encoding is FORMULATED AS MATMULS: xb = x @ B (B holds the
+  2^k frequency pattern), then sin/cos on [P, 30] panels, and the first /
+  skip / view layers consume (x, sin xb, cos xb) through row-split weight
+  panels — no lane-dim-3 concatenation chains (those made an earlier
+  version compile for minutes and run slower than XLA);
+- the view-direction contribution is computed per RAY ([R, 128]) and
+  broadcast to samples, an S-fold saving over encoding per point;
+- matmuls run in bf16 with f32 MXU accumulation; compositing math is f32.
 
 Numerical semantics mirror ``ops.composite`` in inference mode: density
 corrections always applied, no clamp, no noise
@@ -30,172 +31,176 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 S = 8          # samples per ray
-L_PTS = 10     # position encoding octaves -> 63ch
-L_DIR = 4      # direction encoding octaves -> 27ch
-PE_PTS = 64    # padded 3 + 60 = 63 -> 64
-PE_DIR = 32    # padded 27 -> 32
+L_PTS = 10     # position octaves: PE = [x(3), sin(30), cos(30)]
+L_DIR = 4      # direction octaves: PE = [d(3), sin(12), cos(12)]
 W = 256
 W_HALF = 128
 INF_DIST = 1e10
 
 
+def _freq_matrix(L: int, dtype=jnp.float32):
+    """B [3, 3L] with B[j, 3k + j] = 2^k, so (x @ B)[:, 3k + j] = 2^k x_j —
+    matching the interleaved [sin f_k x, cos f_k x] row order of
+    ``ops.encoding.positional_encoding``."""
+    B = np.zeros((3, 3 * L), np.float32)
+    for k in range(L):
+        for j in range(3):
+            B[j, 3 * k + j] = 2.0**k
+    return jnp.asarray(B, dtype)
+
+
+def _split_pe_rows(w, L: int):
+    """Split a weight matrix whose rows consume a positional encoding
+    [x(3), sin f0(3), cos f0(3), ..., sin f_{L-1}(3), cos f_{L-1}(3)]
+    into (x rows [3, N], sin rows [3L, N], cos rows [3L, N])."""
+    w = jnp.asarray(w)
+    wx = w[:3]
+    sin_rows = [3 + 6 * k + j for k in range(L) for j in range(3)]
+    cos_rows = [3 + 6 * k + 3 + j for k in range(L) for j in range(3)]
+    return wx, w[jnp.asarray(sin_rows)], w[jnp.asarray(cos_rows)]
+
+
 def pack_nerf_params(nerf_params, dtype=jnp.bfloat16):
-    """Pad the NeRF param pytree into lane-aligned kernel buffers."""
-
-    def pad(a, rows, cols):
-        a = jnp.asarray(a)
-        return jnp.zeros((rows, cols), a.dtype).at[: a.shape[0], : a.shape[1]].set(a).astype(dtype)
-
-    def padb(b, cols):
-        # biases stay f32 and 2-D ([1, cols]) for clean VMEM tiling
-        b = jnp.asarray(b)
-        return (
-            jnp.zeros((1, cols), b.dtype).at[0, : b.shape[0]].set(b)
-        ).astype(jnp.float32)
-
+    """Split/reorder the NeRF param pytree into kernel panels."""
     p = nerf_params
+
+    def cast(a):
+        return jnp.asarray(a).astype(dtype)
+
+    def bias(b):
+        b = jnp.asarray(b)
+        return b.reshape(1, -1).astype(jnp.float32)
+
+    w0x, w0s, w0c = _split_pe_rows(p["pts"][0]["w"], L_PTS)
+    w5 = jnp.asarray(p["pts"][5]["w"])  # [63 + 256, 256]: [x_pe | h]
+    w5x, w5s, w5c = _split_pe_rows(w5[:63], L_PTS)
+    wv = jnp.asarray(p["views"]["w"])   # [256 + 27, 128]: [feature | d_pe]
+    wvx, wvs, wvc = _split_pe_rows(wv[W:], L_DIR)
+
     packed = {
-        "w0": pad(p["pts"][0]["w"], PE_PTS, W),
-        "w5": pad(p["pts"][5]["w"], PE_PTS + W, W),
+        "bx": _freq_matrix(L_PTS, dtype),
+        "bd": _freq_matrix(L_DIR, dtype),
+        "w0x": cast(w0x), "w0s": cast(w0s), "w0c": cast(w0c),
+        "b0": bias(p["pts"][0]["b"]),
+        "w5x": cast(w5x), "w5s": cast(w5s), "w5c": cast(w5c),
+        "w5h": cast(w5[63:]),
+        "b5": bias(p["pts"][5]["b"]),
+        "wvf": cast(wv[:W]),
+        "wvx": cast(wvx), "wvs": cast(wvs), "wvc": cast(wvc),
+        "bv": bias(p["views"]["b"]),
+        "w_alpha": cast(
+            jnp.zeros((W, W_HALF)).at[:, :1].set(jnp.asarray(p["alpha"]["w"]))
+        ),
+        "b_alpha": bias(
+            jnp.zeros((W_HALF,)).at[:1].set(jnp.asarray(p["alpha"]["b"]))
+        ),
+        "w_feat": cast(p["feature"]["w"]),
+        "b_feat": bias(p["feature"]["b"]),
+        "w_rgb": cast(
+            jnp.zeros((W_HALF, W_HALF)).at[:, :3].set(jnp.asarray(p["rgb"]["w"]))
+        ),
+        "b_rgb": bias(
+            jnp.zeros((W_HALF,)).at[:3].set(jnp.asarray(p["rgb"]["b"]))
+        ),
     }
-    # skip layer 5 consumes cat(x_pe[63], h[256]): remap its rows so the
-    # first PE_PTS rows are the (padded) x part and the next W rows are h.
-    w5 = jnp.asarray(p["pts"][5]["w"])  # [319, 256]
-    packed["w5"] = (
-        jnp.zeros((PE_PTS + W, W), w5.dtype)
-        .at[:63].set(w5[:63])
-        .at[PE_PTS:].set(w5[63:])
-        .astype(dtype)
-    )
     for i in (1, 2, 3, 4, 6, 7):
-        packed[f"w{i}"] = jnp.asarray(p["pts"][i]["w"]).astype(dtype)
-    for i in range(8):
-        packed[f"b{i}"] = padb(p["pts"][i]["b"], W)
-    packed["w_alpha"] = pad(p["alpha"]["w"], W, W_HALF)
-    packed["b_alpha"] = padb(p["alpha"]["b"], W_HALF)
-    packed["w_feat"] = jnp.asarray(p["feature"]["w"]).astype(dtype)
-    packed["b_feat"] = padb(p["feature"]["b"], W)
-    # view branch consumes cat(feature[256], d_pe[27]) -> rows [256 | 27pad32]
-    wv = jnp.asarray(p["views"]["w"])  # [283, 128]
-    packed["w_views"] = (
-        jnp.zeros((W + PE_DIR, W_HALF), wv.dtype)
-        .at[:W].set(wv[:W])
-        .at[W : W + 27].set(wv[W:])
-        .astype(dtype)
-    )
-    packed["b_views"] = padb(p["views"]["b"], W_HALF)
-    packed["w_rgb"] = pad(p["rgb"]["w"], W_HALF, W_HALF)
-    packed["b_rgb"] = padb(p["rgb"]["b"], W_HALF)
+        packed[f"w{i}"] = cast(p["pts"][i]["w"])
+        packed[f"b{i}"] = bias(p["pts"][i]["b"])
     return packed
 
 
-def _posenc(x, num_freqs, out_cols):
-    """[..., 3] -> [..., out_cols] padded positional encoding (f32)."""
-    feats = [x]
-    for k in range(num_freqs):
-        feats.append(jnp.sin(x * (2.0**k)))
-        feats.append(jnp.cos(x * (2.0**k)))
-    enc = jnp.concatenate(feats, axis=-1)
-    pad = out_cols - enc.shape[-1]
-    return jnp.pad(enc, [(0, 0)] * (enc.ndim - 1) + [(0, pad)])
+_WEIGHT_ORDER = (
+    "bx", "bd",
+    "w0x", "w0s", "w0c", "b0",
+    "w1", "b1", "w2", "b2", "w3", "b3", "w4", "b4",
+    "w5x", "w5s", "w5c", "w5h", "b5",
+    "w6", "b6", "w7", "b7",
+    "w_alpha", "b_alpha", "w_feat", "b_feat",
+    "wvf", "wvx", "wvs", "wvc", "bv",
+    "w_rgb", "b_rgb",
+)
 
 
-def _mm(x, w, b):
-    y = jax.lax.dot_general(
+def _dot(x, w):
+    return jax.lax.dot_general(
         x.astype(w.dtype), w,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    return y + b  # b is [1, cols]
 
 
-def _kernel(
-    pts_ref, dirs_ref, z_ref, dnorm_ref, add_ref, mul_ref,
-    *weight_refs,
-):
-    (w0, w1, w2, w3, w4, w5, w6, w7,
-     b0, b1, b2, b3, b4, b5, b6, b7,
-     w_alpha, b_alpha, w_feat, b_feat, w_views, b_views, w_rgb, b_rgb,
-     out_ref) = weight_refs
+def _kernel(pts_ref, dirs_ref, z_ref, dnorm_ref, add_ref, mul_ref, *refs):
+    (bx, bd,
+     w0x, w0s, w0c, b0,
+     w1, b1, w2, b2, w3, b3, w4, b4,
+     w5x, w5s, w5c, w5h, b5,
+     w6, b6, w7, b7,
+     w_alpha, b_alpha, w_feat, b_feat,
+     wvf, wvx, wvs, wvc, bv,
+     w_rgb, b_rgb,
+     out_ref) = refs
 
-    R = pts_ref.shape[0]
+    R = z_ref.shape[0]
     P = R * S
 
-    pts = pts_ref[:].reshape(P, 3)
-    x_pe = _posenc(pts, L_PTS, PE_PTS)
+    x = pts_ref[:].reshape(P, 3)
+    xb = _dot(x, bx[:])                    # [P, 30]
+    sx = jnp.sin(xb)
+    cx = jnp.cos(xb)
 
-    h = jnp.maximum(_mm(x_pe, w0[:], b0[:]), 0.0)
-    h = jnp.maximum(_mm(h, w1[:], b1[:]), 0.0)
-    h = jnp.maximum(_mm(h, w2[:], b2[:]), 0.0)
-    h = jnp.maximum(_mm(h, w3[:], b3[:]), 0.0)
-    h = jnp.maximum(_mm(h, w4[:], b4[:]), 0.0)
-    # skip: layer 5 sees [x_pe | h]
     h = jnp.maximum(
-        _mm(x_pe, w5[:PE_PTS, :], b5[:]) +
-        jax.lax.dot_general(
-            h.astype(w5.dtype), w5[PE_PTS:, :],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ),
+        _dot(x, w0x[:]) + _dot(sx, w0s[:]) + _dot(cx, w0c[:]) + b0[:], 0.0
+    )
+    h = jnp.maximum(_dot(h, w1[:]) + b1[:], 0.0)
+    h = jnp.maximum(_dot(h, w2[:]) + b2[:], 0.0)
+    h = jnp.maximum(_dot(h, w3[:]) + b3[:], 0.0)
+    h = jnp.maximum(_dot(h, w4[:]) + b4[:], 0.0)
+    h = jnp.maximum(
+        _dot(x, w5x[:]) + _dot(sx, w5s[:]) + _dot(cx, w5c[:])
+        + _dot(h, w5h[:]) + b5[:],
         0.0,
     )
-    h = jnp.maximum(_mm(h, w6[:], b6[:]), 0.0)
-    h = jnp.maximum(_mm(h, w7[:], b7[:]), 0.0)
+    h = jnp.maximum(_dot(h, w6[:]) + b6[:], 0.0)
+    h = jnp.maximum(_dot(h, w7[:]) + b7[:], 0.0)
 
-    sigma = _mm(h, w_alpha[:], b_alpha[:])[:, :1]  # [P, 1]
-    feat = _mm(h, w_feat[:], b_feat[:])           # [P, 256]
+    sigma = (_dot(h, w_alpha[:]) + b_alpha[:])[:, 0].reshape(R, S)
+    feat = _dot(h, w_feat[:]) + b_feat[:]          # [P, 256]
 
-    dirs = dirs_ref[:]                             # [R, 3]
-    d_pe = _posenc(dirs, L_DIR, PE_DIR)            # [R, 32]
-    d_pe_full = jnp.repeat(d_pe, S, axis=0)        # [P, 32]
-    hv = jnp.maximum(
-        _mm(feat, w_views[:W, :], b_views[:]) +
-        jax.lax.dot_general(
-            d_pe_full.astype(w_views.dtype), w_views[W:, :],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ),
-        0.0,
-    )
-    rgb_logits = _mm(hv, w_rgb[:], b_rgb[:])[:, :3]  # [P, 3]
+    d = dirs_ref[:]                                 # [R, 3]
+    db = _dot(d, bd[:])                             # [R, 12]
+    vcon = _dot(d, wvx[:]) + _dot(jnp.sin(db), wvs[:]) + _dot(
+        jnp.cos(db), wvc[:]
+    )                                               # [R, 128]
+    vcon_p = jnp.broadcast_to(
+        vcon[:, None, :], (R, S, W_HALF)
+    ).reshape(P, W_HALF)
+    hv = jnp.maximum(_dot(feat, wvf[:]) + vcon_p + bv[:], 0.0)
+    rgb_logits = (_dot(hv, w_rgb[:]) + b_rgb[:])[:, :3]
 
-    # ---- compositing over S (inference semantics: mm terms, no clamp) ----
-    z = z_ref[:]                                   # [R, S]
-    dnorm = dnorm_ref[:]                           # [R, 1]
-    sigma = sigma[:, 0].reshape(R, S)
+    # ---- compositing (inference semantics) ----
+    z = z_ref[:]
+    dnorm = dnorm_ref[:]
     rgb = jax.nn.sigmoid(rgb_logits).reshape(R, S, 3)
-
     dists = jnp.concatenate(
         [z[:, 1:] - z[:, :-1], jnp.full((R, 1), INF_DIST, z.dtype)], axis=1
     ) * dnorm
     a = jnp.maximum(sigma + add_ref[:], 0.0)
     alpha = (1.0 - jnp.exp(-a * dists)) * jnp.maximum(mul_ref[:], 0.0)
 
-    # exclusive cumprod over the (static, small) sample axis, unrolled
     one_m = 1.0 - alpha + 1e-10
     trans_cols = [jnp.ones((R, 1), z.dtype)]
     for s_i in range(1, S):
         trans_cols.append(trans_cols[-1] * one_m[:, s_i - 1 : s_i])
     trans = jnp.concatenate(trans_cols, axis=1)
-    weights = alpha * trans                         # [R, S]
+    weights = alpha * trans
 
-    rgb_map = jnp.sum(weights[:, :, None] * rgb, axis=1)   # [R, 3]
+    rgb_map = jnp.sum(weights[:, :, None] * rgb, axis=1)
     depth = jnp.sum(weights * z, axis=1)
     acc = jnp.sum(weights, axis=1)
-
-    out = jnp.concatenate(
+    out_ref[:] = jnp.concatenate(
         [rgb_map, depth[:, None], acc[:, None], jnp.zeros((R, 3), z.dtype)],
         axis=1,
     )
-    out_ref[:] = out
-
-
-_WEIGHT_ORDER = (
-    "w0", "w1", "w2", "w3", "w4", "w5", "w6", "w7",
-    "b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7",
-    "w_alpha", "b_alpha", "w_feat", "b_feat", "w_views", "b_views",
-    "w_rgb", "b_rgb",
-)
 
 
 @functools.partial(jax.jit, static_argnames=("block_rays", "interpret"))
@@ -236,8 +241,9 @@ def fused_nerf_composite(
     ray_spec = lambda cols: pl.BlockSpec(
         (block_rays, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
-                                  memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(
+        a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM
+    )
 
     weights = [packed[k] for k in _WEIGHT_ORDER]
     out = pl.pallas_call(

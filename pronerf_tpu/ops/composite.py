@@ -78,7 +78,11 @@ def composite(
         alpha = jnp.where(idx < num_valid, alpha, 0.0)
 
     # Exclusive cumulative transmittance T_i = prod_{j<i} (1 - alpha_j + 1e-10).
-    trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
+    # associative_scan keeps this a log-depth VPU op (jnp.cumprod can lower
+    # to a sequential scan, several ms/frame at fern scale).
+    trans = jax.lax.associative_scan(
+        jnp.multiply, 1.0 - alpha + 1e-10, axis=-1
+    )
     trans = jnp.concatenate(
         [jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1
     )

@@ -16,14 +16,13 @@ import jax.numpy as jnp
 
 
 def sort_with_payloads(keys, *payloads):
-    """Ascending sort of ``keys`` along the last axis, gathering each payload
-    with the same permutation (replaces torch.sort + torch.gather)."""
-    order = jnp.argsort(keys, axis=-1)
-    sorted_keys = jnp.take_along_axis(keys, order, axis=-1)
-    sorted_payloads = tuple(
-        jnp.take_along_axis(p, order, axis=-1) for p in payloads
-    )
-    return (sorted_keys,) + sorted_payloads
+    """Ascending sort of ``keys`` along the last axis, carrying each payload
+    through the same permutation (replaces torch.sort + torch.gather).
+
+    Uses multi-operand ``lax.sort`` — ONE compare/select network moves keys
+    and payloads together, instead of argsort + per-payload gathers (which
+    cost several ms/frame at fern scale on TPU)."""
+    return jax.lax.sort((keys,) + tuple(payloads), dimension=-1, num_keys=1)
 
 
 def ndc_to_3d_depth(z_ndc, eps: float):

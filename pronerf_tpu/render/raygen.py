@@ -14,22 +14,31 @@ import jax.numpy as jnp
 import numpy as np
 
 from pronerf_tpu.ops.rays import get_rays, ndc_rays
-from pronerf_tpu.ops.warp import build_corner_stack, fuse_projection
+from pronerf_tpu.ops.warp import (
+    build_corner_stack,
+    build_corner_stack_u8,
+    fuse_projection,
+)
 
 
-def prepare_scene(images, poses, K, pack_corners: bool = True):
+def prepare_scene(images, poses, K, pack_corners: str | bool = "u8"):
     """Device-side scene bundle for :func:`pronerf_tpu.models.render_rays`.
 
     Args:
       images: [T, H, W, 3] float32 training images.
       poses: [T, 3, 4] c2w training poses.
       K: [3, 3] shared intrinsics.
-      pack_corners: store the 12-channel corner stack (4x memory) so the
-        epipolar warp needs ONE gather per sample point instead of four.
+      pack_corners: epipolar-gather layout — 'u8' (default; 2x2 corners
+        quantized to 8-bit and packed 4-per-int32 word: 4x fewer gathered
+        elements, exact for 8-bit source images), 'f32' / True (12-channel
+        float corner stack, lossless for float scenes), or False (plain
+        images, four gathers per sample).
     """
     poses = jnp.asarray(poses)
     images = jnp.asarray(images)
-    if pack_corners:
+    if pack_corners == "u8":
+        images = build_corner_stack_u8(images)
+    elif pack_corners:
         images = build_corner_stack(images)
     return {
         "images": images,

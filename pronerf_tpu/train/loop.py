@@ -59,6 +59,11 @@ def load_training_data(cfg: Config):
         raise NotImplementedError(
             "no_ndc is not supported: the ProNeRF sampler operates in NDC"
         )
+    if cfg.epi_nerf:
+        raise NotImplementedError(
+            "--epi_nerf references an undefined model in the release tree "
+            "(run_S_eS_eN_alter_base.py:390, NameError) and is not supported"
+        )
     if cfg.datadir == "synthetic":
         from pronerf_tpu.utils.synthetic import make_scene
 

@@ -93,3 +93,48 @@ def test_sharded_stage2_runs():
     state, m = step(state, scene, batch_sh, ids_sh, controls, 3e-4)
     assert np.isfinite(float(m["loss"]))
     assert int(state["global_step"]) == 1
+
+
+def test_multi_scene_training_step():
+    """4 scenes x 2-way ray sharding on the 8-dev CPU mesh, one dispatch."""
+    from pronerf_tpu.parallel.multi_scene import (
+        make_multi_scene_step,
+        make_scene_mesh,
+        place_scene_batch,
+        stack_scenes,
+    )
+    from pronerf_tpu.train import init_stage1_state
+
+    cfg, _, _, _, _, _, controls = _setup()
+    n_scene, n_rand = 4, 64
+    scenes, states, batches, idss = [], [], [], []
+    H = W = focal = None
+    for s in range(n_scene):
+        sc = make_scene(n_views=6, H=20, W=24, seed=s)
+        H, W, focal = sc["hwf"]
+        scenes.append(prepare_scene(sc["images"], sc["poses"], sc["K"]))
+        params = init_pronerf_params(jax.random.PRNGKey(s), mmnetdepth=6)
+        states.append(init_stage1_state(params))
+        rng = np.random.default_rng(s)
+        pool, ids = build_ray_pool(
+            sc["images"], sc["poses"], sc["K"], list(range(6)), 4, rng
+        )
+        batches.append(pool[:n_rand])
+        idss.append(ids[:n_rand])
+
+    mesh = make_scene_mesh(n_scene, 2)
+    assert mesh.devices.shape == (4, 2)
+    states_s = stack_scenes(states)
+    scenes_s = stack_scenes(scenes)
+    batch = jnp.asarray(np.stack(batches))
+    ids = jnp.asarray(np.stack(idss))
+    batch, ids = place_scene_batch(mesh, batch, ids)
+
+    step = make_multi_scene_step(cfg, H, W, focal, mesh, stage=1, branch="nerf")
+    states_s, metrics = step(states_s, scenes_s, batch, ids, controls, 5e-4)
+    losses = np.asarray(metrics["loss"])
+    assert losses.shape == (n_scene,)
+    assert np.all(np.isfinite(losses))
+    # scenes differ -> losses differ
+    assert len(set(np.round(losses, 6).tolist())) > 1
+    assert int(np.asarray(states_s["global_step"])[0]) == 1

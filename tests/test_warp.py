@@ -129,3 +129,26 @@ def test_mean_fill_invalid():
     out = np.asarray(mean_fill_invalid(jnp.asarray(c)))
     np.testing.assert_allclose(out[0, 2, 0], [0.3, 0.5, 0.7], atol=1e-4)
     np.testing.assert_allclose(out[0, 0, 0], c[0, 0, 0])
+
+
+def test_packed_u8_bilinear_matches_unpacked_quantized():
+    from pronerf_tpu.ops.warp import (
+        bilinear_sample_packed_u8, build_corner_stack_u8,
+    )
+
+    rng = np.random.default_rng(6)
+    T, H, W = 3, 11, 14
+    # 8-bit-exact source colors (the real LLFF case)
+    imgs = (rng.integers(0, 256, size=(T, H, W, 3)) / 255.0).astype(np.float32)
+    n = 400
+    xn = rng.uniform(-1.3, 1.3, size=n).astype(np.float32)
+    yn = rng.uniform(-1.3, 1.3, size=n).astype(np.float32)
+    vidx = rng.integers(0, T, size=n).astype(np.int32)
+    plain = bilinear_sample(
+        jnp.asarray(imgs), jnp.asarray(vidx), jnp.asarray(xn), jnp.asarray(yn)
+    )
+    packed = bilinear_sample_packed_u8(
+        build_corner_stack_u8(jnp.asarray(imgs)),
+        jnp.asarray(vidx), jnp.asarray(xn), jnp.asarray(yn),
+    )
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(plain), atol=1e-6)

@@ -192,3 +192,17 @@ def test_pipeline_donerf_arch():
         RenderStatics.infer(netarch="donerf"),
     )
     assert np.all(np.isfinite(np.asarray(out["rgb1"])))
+
+
+def test_render_determinism():
+    """Same seeds -> bitwise-identical render (replaces the reference's
+    pytest=True seeded-noise fixtures, SURVEY.md §4)."""
+    params, rays, scene, controls = _tiny_setup()
+    statics = RenderStatics.stage1_nerf()  # noisiest branch
+    a = render_rays(params, rays, scene, controls, statics)
+    b = render_rays(params, rays, scene, controls, statics)
+    np.testing.assert_array_equal(np.asarray(a["rgb1"]), np.asarray(b["rgb1"]))
+    # different rng key -> different noise
+    c2 = dict(controls, rng=jax.random.PRNGKey(99))
+    c = render_rays(params, rays, scene, c2, statics)
+    assert not np.array_equal(np.asarray(a["rgb1"]), np.asarray(c["rgb1"]))

@@ -94,6 +94,7 @@ class Config:
     # TPU-native extensions (not in the reference)
     netarch: str = "nerf"                # radiance family: 'nerf' | 'donerf'
     use_pallas: bool = False             # fused Pallas inference kernel
+    scan_steps: int = 1                  # train steps fused per dispatch
     compute_dtype: Optional[str] = None  # 'bfloat16' inference fast path
     tile_rays: int = 8192                # full-frame render tile size
     seed: int = 0

@@ -111,15 +111,17 @@ def run_inference(cfg: Config, timing_reps: int = 0):
     result = render_path(
         data["poses"][i_test], params, scene, statics,
         data["H"], data["W"], data["K"],
-        gt_imgs=data["images"][i_test], savedir=savedir,
+        gt_imgs=data["images"][i_test] if cfg.render_factor == 0 else None,
+        savedir=savedir,
         tile_rays=cfg.tile_rays, timing_reps=timing_reps,
+        render_factor=cfg.render_factor,
     )
 
     # SSIM / LPIPS on top of render_path's PSNR report
     from pronerf_tpu.ops.metrics import img2ssim, rgb_lpips
 
     ssims, lpipss = [], []
-    for k, idx in enumerate(i_test):
+    for k, idx in enumerate(i_test if cfg.render_factor == 0 else []):
         gt = np.asarray(data["images"][idx])
         pred = result["rgbs1"][k]
         ssims.append(img2ssim(pred, gt))

@@ -64,6 +64,11 @@ def load_training_data(cfg: Config):
             "--epi_nerf references an undefined model in the release tree "
             "(run_S_eS_eN_alter_base.py:390, NameError) and is not supported"
         )
+    if cfg.no_batching or cfg.full_image:
+        raise NotImplementedError(
+            "no_batching/full_image single-image sampling is not part of the "
+            "release path (the reference always uses the shuffled ray pool)"
+        )
     if cfg.datadir == "synthetic":
         from pronerf_tpu.utils.synthetic import make_scene
 
@@ -297,7 +302,58 @@ def run_training(cfg: Config, stage: int):
           f"res {W}x{H} train views {len(i_train)} test views {len(i_test)}")
     t_start = time.time()
     loss_val = psnr_val = float("nan")
-    for i in range(start + 1, n_iters):
+
+    # Device-resident fast path: chunks of scan_steps per dispatch (see
+    # train/fast_loop.py). Falls through to the per-step loop for the tail
+    # and for all logging/checkpoint boundaries.
+    if cfg.scan_steps > 1:
+        from pronerf_tpu.train.fast_loop import make_scan_executor
+
+        executor = make_scan_executor(
+            cfg, H, W, focal, len(i_train), stage, cfg.scan_steps
+        )
+        base_key = jax.random.PRNGKey(cfg.seed + 987654321)
+        i = start
+        chunk = cfg.scan_steps
+        stride = chunk * cfg.N_rand
+        while n_iters - 1 - i >= chunk:
+            # stop chunking just before a ckpt/testset boundary so the
+            # per-step loop handles it; simplest: align chunks to i_weights
+            next_boundary = min(
+                ((i // cfg.i_weights) + 1) * cfg.i_weights,
+                n_iters - 1,
+            )
+            if next_boundary - i < chunk:
+                break
+            if i_batch + stride > pool.shape[0]:
+                perm = rng.permutation(pool.shape[0])
+                pool, pool_ids = pool[perm], pool_ids[perm]
+                pool_j = jnp.asarray(pool)
+                ids_j = jnp.asarray(pool_ids)
+                i_batch = 0
+            state, metrics = executor(
+                state, scene, pool_j, ids_j, i_batch, base_key
+            )
+            i_batch += stride
+            i += chunk
+            if i % cfg.i_print < chunk:
+                loss_val = float(metrics["mean_loss"])
+                if not np.isfinite(loss_val):
+                    raise FloatingPointError(
+                        f"Non-finite loss {loss_val} at iter {i}"
+                    )
+                rate = (i - start) / max(time.time() - t_start, 1e-9)
+                print(
+                    f"[TRAIN] Iter: {i} Loss: {loss_val:.6f} "
+                    f"(chunk mean) lr: {lr_fn(i - 1):.3e} it/s: {rate:.2f}"
+                )
+                logger.log(i, loss=loss_val, it_per_s=rate, mode="scan")
+        start_tail = i
+        iter_range = range(start_tail + 1, n_iters)
+    else:
+        iter_range = range(start + 1, n_iters)
+
+    for i in iter_range:
         if i_batch + cfg.N_rand > pool.shape[0]:
             perm = rng.permutation(pool.shape[0])
             pool, pool_ids = pool[perm], pool_ids[perm]

@@ -106,3 +106,52 @@ def test_render_path_video(workdir, capsys):
     assert "Saved render path video" in out
     vids = list((workdir / "vid").glob("render_path.*"))
     assert vids
+
+
+def test_scan_executor_runs_and_advances():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pronerf_tpu.config import Config
+    from pronerf_tpu.models import init_pronerf_params
+    from pronerf_tpu.render import prepare_scene
+    from pronerf_tpu.render.raygen import build_ray_pool
+    from pronerf_tpu.train import init_stage1_state
+    from pronerf_tpu.train.fast_loop import make_scan_executor
+    from pronerf_tpu.utils.synthetic import make_scene
+
+    cfg = Config.from_file("configs/llff/fern/fern_epi.txt")
+    cfg.N_rand = 128
+    sc = make_scene(n_views=6, H=20, W=24, seed=0)
+    H, W, focal = sc["hwf"]
+    scene = prepare_scene(sc["images"], sc["poses"], sc["K"])
+    params = init_pronerf_params(jax.random.PRNGKey(0), mmnetdepth=6)
+    state = init_stage1_state(params)
+    rng = np.random.default_rng(0)
+    pool, ids = build_ray_pool(
+        sc["images"], sc["poses"], sc["K"], list(range(6)), 4, rng
+    )
+    ex = make_scan_executor(cfg, H, W, focal, n_train=6, stage=1, scan_steps=4)
+    state, metrics = ex(
+        state, scene, jnp.asarray(pool), jnp.asarray(ids), 0,
+        jax.random.PRNGKey(7),
+    )
+    assert int(state["global_step"]) == 4
+    assert np.isfinite(float(metrics["mean_loss"]))
+    # second chunk continues (odd/even alternation preserved via global_step)
+    state, metrics = ex(
+        state, scene, jnp.asarray(pool), jnp.asarray(ids), 512,
+        jax.random.PRNGKey(7),
+    )
+    assert int(state["global_step"]) == 8
+
+
+def test_scan_steps_cli_smoke(workdir, capsys):
+    main(
+        ["train-stage1", "--no-reload", "--max-steps", "10"]
+        + _common(workdir, "s1_scan")
+        + ["--scan_steps", "4"]
+    )
+    out = capsys.readouterr().out
+    ckpts = sorted((workdir / "s1_scan").glob("*.ckpt"))
+    assert ckpts and ckpts[-1].name == "000010.ckpt"

@@ -99,6 +99,16 @@ def cmd_eval(args):
     cmd_infer(args)
 
 
+def cmd_train_multi(args):
+    from pronerf_tpu.train.multi_loop import run_multi_training
+
+    cfg = _build_cfg(args, DEFAULT_STAGE1_CONFIG)
+    datadirs = args.scenes.split(",") if args.scenes else [
+        f"synthetic{i}" for i in range(args.n_synthetic)
+    ]
+    run_multi_training(cfg, datadirs, n_ray_shards=args.ray_shards)
+
+
 def cmd_render_path(args):
     from pronerf_tpu.render.infer import run_render_path
 
@@ -171,6 +181,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--timing-reps", type=int, default=0, dest="timing_reps")
     _add_passthrough(p)
     p.set_defaults(func=cmd_eval)
+
+    p = sub.add_parser(
+        "train-multi",
+        help="stage-1 training of several scenes in one SPMD program",
+    )
+    p.add_argument("--config", default=None)
+    p.add_argument("--scenes", default=None,
+                   help="comma-separated datadirs (same resolution)")
+    p.add_argument("--n-synthetic", type=int, default=2, dest="n_synthetic",
+                   help="number of synthetic scenes when --scenes is unset")
+    p.add_argument("--ray-shards", type=int, default=1, dest="ray_shards",
+                   help="ray-axis shards per scene on the mesh")
+    p.add_argument("--no-reload", action="store_true", dest="no_reload")
+    p.add_argument("--max-steps", type=int, default=None, dest="max_steps")
+    _add_passthrough(p)
+    p.set_defaults(func=cmd_train_multi)
 
     p = sub.add_parser("render-path", help="render the spiral camera path to video")
     p.add_argument("--config", default=None)

@@ -26,12 +26,11 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from pronerf_tpu.render.raygen import rays_from_pool
-from pronerf_tpu.train.state import apply_updates, make_tx, stage1_lr, stage2_lr
+from pronerf_tpu.train.state import stage1_lr, stage2_lr
 
 
 def _draw_device_controls(key, step, n_train: int, num_neighbor: int,
-                          max_mult: int, base_seed: int):
+                          max_mult: int):
     k = jax.random.fold_in(key, step)
     k1, k2, k3, k4, k5 = jax.random.split(k, 5)
     subset = jnp.sort(
@@ -81,7 +80,7 @@ def make_scan_executor(cfg, H: int, W: int, focal: float, n_train: int,
                 pool_ids, i_batch0 + k * n_rand, n_rand
             )
             controls = _draw_device_controls(
-                base_key, i, n_train, cfg.num_neighbor, max_mult, cfg.seed
+                base_key, i, n_train, cfg.num_neighbor, max_mult
             )
             lr = lr_fn((i - 1).astype(jnp.float32))
             if stage == 1:

@@ -155,3 +155,17 @@ def test_scan_steps_cli_smoke(workdir, capsys):
     out = capsys.readouterr().out
     ckpts = sorted((workdir / "s1_scan").glob("*.ckpt"))
     assert ckpts and ckpts[-1].name == "000010.ckpt"
+
+
+def test_train_multi_smoke(workdir, capsys):
+    main(
+        ["train-multi", "--no-reload", "--max-steps", "4",
+         "--n-synthetic", "2", "--ray-shards", "2", "--",
+         "--basedir", str(workdir), "--expname", "multi",
+         "--N_rand", "64", "--i_print", "2", "--i_weights", "4",
+         "--i_testset", "0"]
+    )
+    out = capsys.readouterr().out
+    assert "TRAIN-MULTI" in out
+    for name in ("scene_synthetic0", "scene_synthetic1"):
+        assert sorted((workdir / "multi" / name).glob("*.ckpt")), name

@@ -16,7 +16,7 @@ offers DoNeRF as an explicit alternative family.)
 from __future__ import annotations
 
 import re
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

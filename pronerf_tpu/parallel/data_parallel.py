@@ -18,8 +18,6 @@ still fills the MXU: the NeRF matmul is [512*64, 256] x [256, 256].
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -19,8 +19,6 @@ datasets satisfy this after cropping to the min view count).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -44,7 +44,6 @@ def amortized_timer(step_fn, init_carry, iters: int = 8, reps: int = 3,
     """Per-iteration ms of ``carry -> carry`` step_fn, amortized over a
     scan of ``iters`` inside one dispatch."""
     import jax
-    import jax.numpy as jnp
 
     @jax.jit
     def loop(c):

@@ -95,6 +95,7 @@ class Config:
     netarch: str = "nerf"                # radiance family: 'nerf' | 'donerf'
     use_pallas: bool = False             # fused Pallas inference kernel
     scan_steps: int = 1                  # train steps fused per dispatch
+    warp_interp: str = "bilinear"        # 'bilinear' (parity) | 'nearest'
     compute_dtype: Optional[str] = None  # 'bfloat16' inference fast path
     tile_rays: int = 8192                # full-frame render tile size
     seed: int = 0

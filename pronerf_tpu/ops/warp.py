@@ -148,6 +148,43 @@ def bilinear_sample_packed_u8(packed, view_idx, xn, yn):
     return out * inb[..., None].astype(out.dtype)
 
 
+def build_rgb_word_u8(images):
+    """Whole-pixel u8 pack for nearest-neighbor warping: int32 [T, H, W]
+    with r | g<<8 | b<<16. ONE gathered element per sample point."""
+    q = jnp.clip(jnp.round(images * 255.0), 0, 255).astype(jnp.uint32)
+    return (q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16)).astype(jnp.int32)
+
+
+def nearest_sample_packed_u8(packed, view_idx, xn, yn):
+    """Nearest-neighbor sample from a :func:`build_rgb_word_u8` array:
+    ONE int32 element gathered per point.
+
+    Speed knob (``warp_interp='nearest'``): 3x fewer gathered elements
+    than the packed bilinear path, but NOT reference-parity (the reference
+    always samples bilinearly); intended for throughput-first serving with
+    models trained/fine-tuned under the same sampling.
+    """
+    T, H, W = packed.shape
+    inb = (xn >= -1.0) & (xn <= 1.0) & (yn >= -1.0) & (yn <= 1.0)
+    u = jnp.clip((xn + 1.0) * 0.5 * (W - 1), 0.0, W - 1)
+    v = jnp.clip((yn + 1.0) * 0.5 * (H - 1), 0.0, H - 1)
+    x0 = jnp.round(u).astype(jnp.int32)
+    y0 = jnp.round(v).astype(jnp.int32)
+    words = jnp.take(
+        packed.reshape(T * H * W),
+        view_idx.astype(jnp.int32) * (H * W) + y0 * W + x0,
+    ).astype(jnp.uint32)
+    out = jnp.stack(
+        [
+            (words & 0xFF).astype(jnp.float32),
+            ((words >> 8) & 0xFF).astype(jnp.float32),
+            ((words >> 16) & 0xFF).astype(jnp.float32),
+        ],
+        axis=-1,
+    ) * (1.0 / 255.0)
+    return out * inb[..., None].astype(out.dtype)
+
+
 def bilinear_sample_packed(corner_stack, view_idx, xn, yn):
     """Bilinear sample from a :func:`build_corner_stack` array with ONE
     row gather per sample point. Semantics identical to
@@ -233,11 +270,16 @@ def epipolar_colors(images, fused_mats, K, view_idx, rays_o, rays_d, z3d):
 
     Returns: colors [N, V, S, 3] (zeros where the projection left the image).
     """
-    T, H, W, C = images.shape
+    if images.ndim == 3:
+        T, H, W = images.shape
+    else:
+        T, H, W, C = images.shape
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z3d[..., None]  # [N, S, 3]
     M = fused_mats[view_idx]  # [N, V, 3, 4]
     xn, yn = project_points(pts[:, None, :, :], M[:, :, None, :, :], K, H, W)
     vidx = jnp.broadcast_to(view_idx[:, :, None], xn.shape)
+    if images.dtype == jnp.int32 and images.ndim == 3:
+        return nearest_sample_packed_u8(images, vidx, xn, yn)
     if images.dtype == jnp.int32:
         return bilinear_sample_packed_u8(images, vidx, xn, yn)
     if C == 12:

@@ -100,7 +100,8 @@ def run_inference(cfg: Config, timing_reps: int = 0):
     params = _load_params(cfg, expdir)
 
     scene = prepare_scene(
-        data["images"][data["i_ref"]], data["poses"][data["i_ref"]], data["K"]
+        data["images"][data["i_ref"]], data["poses"][data["i_ref"]], data["K"],
+        pack_corners="u8-nearest" if cfg.warp_interp == "nearest" else "u8",
     )
     statics = _infer_statics(cfg, use_bf16=cfg.use_trt)
 
@@ -181,7 +182,8 @@ def run_render_path(cfg: Config, n_frames: int | None = None, fps: int = 30):
     expdir = setup_expdir(cfg)
     params = _load_params(cfg, expdir)
     scene = prepare_scene(
-        data["images"][data["i_ref"]], data["poses"][data["i_ref"]], data["K"]
+        data["images"][data["i_ref"]], data["poses"][data["i_ref"]], data["K"],
+        pack_corners="u8-nearest" if cfg.warp_interp == "nearest" else "u8",
     )
     statics = _infer_statics(cfg, use_bf16=cfg.use_trt)
     poses = data["render_poses"]

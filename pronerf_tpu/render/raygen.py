@@ -17,6 +17,7 @@ from pronerf_tpu.ops.rays import get_rays, ndc_rays
 from pronerf_tpu.ops.warp import (
     build_corner_stack,
     build_corner_stack_u8,
+    build_rgb_word_u8,
     fuse_projection,
 )
 
@@ -30,14 +31,18 @@ def prepare_scene(images, poses, K, pack_corners: str | bool = "u8"):
       K: [3, 3] shared intrinsics.
       pack_corners: epipolar-gather layout — 'u8' (default; 2x2 corners
         quantized to 8-bit and packed 4-per-int32 word: 4x fewer gathered
-        elements, exact for 8-bit source images), 'f32' / True (12-channel
-        float corner stack, lossless for float scenes), or False (plain
-        images, four gathers per sample).
+        elements, exact for 8-bit source images), 'u8-nearest' (whole-pixel
+        pack, ONE element per point, nearest-neighbor sampling — a
+        non-parity speed knob), 'f32' / True (12-channel float corner
+        stack, lossless for float scenes), or False (plain images, four
+        gathers per sample).
     """
     poses = jnp.asarray(poses)
     images = jnp.asarray(images)
     if pack_corners == "u8":
         images = build_corner_stack_u8(images)
+    elif pack_corners == "u8-nearest":
+        images = build_rgb_word_u8(images)
     elif pack_corners:
         images = build_corner_stack(images)
     return {

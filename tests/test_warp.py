@@ -152,3 +152,24 @@ def test_packed_u8_bilinear_matches_unpacked_quantized():
         jnp.asarray(vidx), jnp.asarray(xn), jnp.asarray(yn),
     )
     np.testing.assert_allclose(np.asarray(packed), np.asarray(plain), atol=1e-6)
+
+
+def test_nearest_u8_matches_exact_pixels():
+    from pronerf_tpu.ops.warp import build_rgb_word_u8, nearest_sample_packed_u8
+
+    rng = np.random.default_rng(7)
+    T, H, W = 2, 9, 12
+    imgs = (rng.integers(0, 256, size=(T, H, W, 3)) / 255.0).astype(np.float32)
+    packed = build_rgb_word_u8(jnp.asarray(imgs))
+    assert packed.shape == (T, H, W)
+    # sample exactly at pixel centers -> exact colors
+    jj, ii = np.mgrid[0:H, 0:W]
+    xn = (2 * ii / (W - 1) - 1).ravel().astype(np.float32)
+    yn = (2 * jj / (H - 1) - 1).ravel().astype(np.float32)
+    vidx = np.ones_like(xn, np.int32)
+    out = np.asarray(
+        nearest_sample_packed_u8(
+            packed, jnp.asarray(vidx), jnp.asarray(xn), jnp.asarray(yn)
+        )
+    )
+    np.testing.assert_allclose(out, imgs[1].reshape(-1, 3), atol=1e-6)

@@ -34,9 +34,9 @@ from pronerf_tpu.train.loop import (
 def load_inference_data(cfg: Config):
     """LLFF infer data (COLMAP ref views) or the synthetic stand-in."""
     if cfg.datadir == "synthetic":
-        from pronerf_tpu.utils.synthetic import make_scene
+        from pronerf_tpu.utils.synthetic import make_consistent_scene
 
-        sc = make_scene(n_views=8, H=60, W=80, seed=cfg.seed)
+        sc = make_consistent_scene(n_views=8, H=60, W=80, seed=cfg.seed)
         images = sc["images"]
         H, W, focal = sc["hwf"]
         poses = sc["poses"]

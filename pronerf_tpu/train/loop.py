@@ -70,9 +70,9 @@ def load_training_data(cfg: Config):
             "release path (the reference always uses the shuffled ray pool)"
         )
     if cfg.datadir == "synthetic":
-        from pronerf_tpu.utils.synthetic import make_scene
+        from pronerf_tpu.utils.synthetic import make_consistent_scene
 
-        sc = make_scene(n_views=8, H=60, W=80, seed=cfg.seed)
+        sc = make_consistent_scene(n_views=8, H=60, W=80, seed=cfg.seed)
         images, K = sc["images"], sc["K"]
         H, W, focal = sc["hwf"]
         poses = np.concatenate(

@@ -62,6 +62,75 @@ def make_scene(
     }
 
 
+def make_consistent_scene(
+    n_views: int = 8,
+    H: int = 60,
+    W: int = 80,
+    focal: float = 70.0,
+    spread: float = 0.25,
+    seed: int = 0,
+):
+    """A multi-view-CONSISTENT synthetic scene: two textured fronto-parallel
+    planes (foreground blobs over a background) rendered with true parallax,
+    so held-out-view metrics measure real generalization. (``make_scene``'s
+    per-view random textures are fine for shape/mechanics tests but carry no
+    cross-view signal.) Same return contract as :func:`make_scene`."""
+    rng = np.random.default_rng(seed)
+    base = make_scene(n_views, H, W, focal, spread, seed)
+    poses = base["poses"]
+    K = base["K"]
+
+    # procedural textures (world-space, smooth)
+    fg_freq = rng.uniform(0.6, 1.2, size=(3, 2))
+    bg_freq = rng.uniform(0.3, 0.8, size=(3, 2))
+    fg_phase = rng.uniform(0, 2 * np.pi, size=3)
+    bg_phase = rng.uniform(0, 2 * np.pi, size=3)
+    blob_centers = rng.uniform(-1.5, 1.5, size=(6, 2))
+
+    def tex(pts_xy, freq, phase):
+        x, y = pts_xy[..., 0], pts_xy[..., 1]
+        return np.stack(
+            [
+                0.55
+                + 0.35 * np.sin(2 * np.pi * (freq[c, 0] * x + freq[c, 1] * y)
+                                + phase[c])
+                for c in range(3)
+            ],
+            axis=-1,
+        )
+
+    from pronerf_tpu.ops.rays import get_rays_np
+
+    z_fg, z_bg = 2.5, 6.0
+    images = np.zeros((n_views, H, W, 3), np.float32)
+    for t in range(n_views):
+        ro, rd = get_rays_np(H, W, K, poses[t])
+        # plane z = -d in world (cameras look along -z after recentering)
+        def hit(depth):
+            s = (-depth - ro[..., 2]) / rd[..., 2]
+            return ro + s[..., None] * rd
+
+        p_fg = hit(z_fg)
+        p_bg = hit(z_bg)
+        d2 = np.min(
+            np.sum(
+                (p_fg[..., None, :2] - blob_centers[None, None]) ** 2, -1
+            ),
+            axis=-1,
+        )
+        fg_mask = (d2 < 0.35).astype(np.float32)[..., None]
+        img = fg_mask * tex(p_fg[..., :2], fg_freq, fg_phase) + (
+            1 - fg_mask
+        ) * tex(p_bg[..., :2], bg_freq, bg_phase)
+        images[t] = np.clip(img, 0.02, 1.0)
+    # quantize to 8-bit like real LLFF sources (keeps the u8 warp exact)
+    images = np.round(images * 255.0) / 255.0
+
+    out = dict(base)
+    out["images"] = images.astype(np.float32)
+    return out
+
+
 def _rot_x(a):
     c, s = np.cos(a), np.sin(a)
     return np.array([[1, 0, 0], [0, c, -s], [0, s, c]], np.float32)

@@ -1,0 +1,46 @@
+import numpy as np
+import jax
+
+from pronerf_tpu.tools.ckpt import diff, show
+from pronerf_tpu.train.checkpoint import save_checkpoint
+from pronerf_tpu.utils.profiling import pipeline_macs
+
+
+def _ckpt(tmp_path, name, scale=1.0):
+    from pronerf_tpu.models import init_pronerf_params
+
+    params = init_pronerf_params(jax.random.PRNGKey(0), mmnetdepth=6)
+    params = jax.tree_util.tree_map(lambda a: a * scale, params)
+    path = tmp_path / name
+    save_checkpoint(path, {
+        "global_step": np.int32(7),
+        "network_fn": params["nerf"],
+        "mmr_network_fn": params["sampler"],
+        "refine_net": params["refine"],
+    })
+    return path
+
+
+def test_ckpt_show_and_diff(tmp_path, capsys):
+    a = _ckpt(tmp_path, "a.ckpt")
+    b = _ckpt(tmp_path, "b.ckpt", scale=1.1)
+    show(a)
+    out = capsys.readouterr().out
+    assert "global_step: 7" in out
+    assert "network_fn" in out and "595,844" in out
+    diff(a, b)
+    out = capsys.readouterr().out
+    assert "max|delta|" in out
+
+
+def test_pipeline_macs_matches_param_scale():
+    macs = pipeline_macs(378, 504)
+    # NeRF ~0.59M params -> MACs per point ~ param count (dense layers);
+    # per frame: rays * 8 samples
+    rays = 378 * 504
+    per_point = macs["nerf"] / (rays * 8)
+    assert 5.5e5 < per_point < 6.5e5
+    per_ray_sampler = macs["sampler"] / rays
+    assert 3.9e5 < per_ray_sampler < 4.3e5  # ~410k params
+    per_ray_refine = macs["refine"] / rays
+    assert 3.5e5 < per_ray_refine < 3.9e5  # ~375k params

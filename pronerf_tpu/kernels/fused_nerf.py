@@ -212,7 +212,7 @@ def fused_nerf_composite(
     dnorm,
     mm_add,
     mm_mul,
-    block_rays: int = 512,
+    block_rays: int = 384,
     interpret: bool = False,
 ):
     """Fused PE -> NeRF MLP -> composite.

@@ -1,0 +1,351 @@
+"""Cross-implementation parity: run the REFERENCE (PyTorch, CPU) as an
+oracle on identical weights/inputs and compare our JAX pipeline against it
+numerically. Skipped when /root/reference is not present.
+
+The reference modules need two harness shims on a CUDA-less machine: a
+torchvision stub (imported only by dead ResUNet code) and a dummy
+torch.cuda.Event (unguarded timing objects at driver module level)."""
+
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REF = Path("/root/reference")
+pytestmark = pytest.mark.skipif(not REF.exists(), reason="no reference tree")
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def ref():
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.models = types.ModuleType("torchvision.models")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tv.models
+    torch.cuda.Event = lambda **kw: None  # dummy (driver makes them at import)
+    sys.path.insert(0, str(REF))
+    import inverse_warp as ref_warp
+    import run_nerf_helpers as ref_helpers
+
+    return types.SimpleNamespace(warp=ref_warp, helpers=ref_helpers)
+
+
+def _t(x):
+    return torch.from_numpy(np.asarray(x, np.float32))
+
+
+# ---------------------------------------------------------------- encodings
+
+
+def test_positional_encoding_matches(ref):
+    import jax.numpy as jnp
+
+    from pronerf_tpu.ops.encoding import positional_encoding
+
+    embed, out_dim = ref.helpers.get_embedder(10, 0)
+    x = np.random.default_rng(0).normal(size=(40, 3)).astype(np.float32)
+    theirs = embed(_t(x)).numpy()
+    ours = np.asarray(positional_encoding(jnp.asarray(x), 10))
+    assert out_dim == ours.shape[-1] == 63
+    np.testing.assert_allclose(ours, theirs, atol=2e-5)
+
+
+def test_plucker_matches(ref):
+    import jax.numpy as jnp
+
+    from pronerf_tpu.ops.encoding import plucker
+
+    rng = np.random.default_rng(1)
+    o = rng.normal(size=(30, 3)).astype(np.float32)
+    d = rng.normal(size=(30, 3)).astype(np.float32)
+    theirs = ref.helpers.Pluecker()(_t(o), _t(d)).numpy()
+    ours = np.asarray(plucker(jnp.asarray(o), jnp.asarray(d)))
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_rays_and_ndc_match(ref):
+    import jax.numpy as jnp
+
+    from pronerf_tpu.ops.rays import get_rays, ndc_rays
+
+    H, W, f = 14, 18, 21.0
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    c2w = np.eye(3, 4, dtype=np.float32)
+    c2w[:, 3] = [0.2, -0.1, 0.3]
+    ro_t, rd_t = ref.helpers.get_rays(H, W, _t(K), _t(c2w))
+    ro_j, rd_j = get_rays(H, W, K, c2w)
+    np.testing.assert_allclose(np.asarray(ro_j), ro_t.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rd_j), rd_t.numpy(), atol=1e-5)
+    no_t, nd_t = ref.helpers.ndc_rays(H, W, f, 1.0, ro_t, rd_t)
+    no_j, nd_j = ndc_rays(H, W, f, 1.0, ro_j, rd_j)
+    np.testing.assert_allclose(np.asarray(no_j), no_t.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(nd_j), nd_t.numpy(), atol=1e-5)
+
+
+# ------------------------------------------------------------------ models
+
+
+def _load_nerf_into_torch(ref, params):
+    m = ref.helpers.NeRF(
+        D=8, W=256, input_ch=63, input_ch_views=27, output_ch=4,
+        skips=[4], use_viewdirs=True,
+    )
+    sd = m.state_dict()
+    for i, layer in enumerate(params["pts"]):
+        sd[f"pts_linears.{i}.weight"] = _t(np.asarray(layer["w"]).T)
+        sd[f"pts_linears.{i}.bias"] = _t(layer["b"])
+    for ours_key, theirs in [
+        ("alpha", "alpha_linear"), ("feature", "feature_linear"),
+        ("views", "views_linears.0"), ("rgb", "rgb_linear"),
+    ]:
+        sd[f"{theirs}.weight"] = _t(np.asarray(params[ours_key]["w"]).T)
+        sd[f"{theirs}.bias"] = _t(params[ours_key]["b"])
+    m.load_state_dict(sd)
+    return m.eval()
+
+
+def _load_minmax_into_torch(ref, params, in_ch, out_ch):
+    m = ref.helpers.MinMaxRay_Net(
+        D=6, W=256, input_ch=in_ch, output_ch=out_ch, skips=[1000]
+    )
+    sd = m.state_dict()
+    for i, layer in enumerate(params["layers"]):
+        sd[f"fc_backbone.{i}.weight"] = _t(np.asarray(layer["w"]).T)
+        sd[f"fc_backbone.{i}.bias"] = _t(layer["b"])
+    sd["fc_output.weight"] = _t(np.asarray(params["out"]["w"]).T)
+    sd["fc_output.bias"] = _t(params["out"]["b"])
+    m.load_state_dict(sd)
+    return m.eval()
+
+
+def test_nerf_mlp_forward_matches(ref):
+    import jax
+
+    from pronerf_tpu.models.mlp import init_nerf_mlp, nerf_mlp_apply
+
+    params = init_nerf_mlp(jax.random.PRNGKey(0))
+    m = _load_nerf_into_torch(ref, params)
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(50, 63)).astype(np.float32)
+    d = rng.normal(size=(50, 27)).astype(np.float32)
+    with torch.no_grad():
+        theirs = m(torch.cat([_t(x), _t(d)], -1)).numpy()
+    import jax.numpy as jnp
+
+    ours = np.asarray(nerf_mlp_apply(params, jnp.asarray(x), jnp.asarray(d)))
+    np.testing.assert_allclose(ours, theirs, atol=3e-5)
+
+
+def test_minmax_mlp_forward_matches(ref):
+    import jax
+    import jax.numpy as jnp
+
+    from pronerf_tpu.models.mlp import init_minmax_mlp, minmax_mlp_apply
+
+    params = init_minmax_mlp(jax.random.PRNGKey(1), 6, 256, 288, 27)
+    m = _load_minmax_into_torch(ref, params, 288, 27)
+    x = np.random.default_rng(3).normal(size=(40, 288)).astype(np.float32)
+    with torch.no_grad():
+        theirs = m(_t(x)).numpy()
+    ours = np.asarray(minmax_mlp_apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(ours, theirs, atol=3e-5)
+
+
+# ------------------------------------------------------------------- warp
+
+
+def test_epipolar_warp_matches_reference(ref):
+    """Our fused-matrix projection + packed-u8 gather vs the reference's
+    training warp (bmm + grid_sample) on identical geometry."""
+    import jax.numpy as jnp
+
+    from pronerf_tpu.ops.rays import get_rays_np
+    from pronerf_tpu.ops.warp import epipolar_colors, fuse_projection
+    from pronerf_tpu.render.raygen import prepare_scene
+    from pronerf_tpu.utils.synthetic import make_consistent_scene
+
+    sc = make_consistent_scene(n_views=3, H=22, W=28, seed=4)
+    H, W, _ = sc["hwf"]
+    K = sc["K"]
+    n, S = 64, 4
+    rng = np.random.default_rng(0)
+    ro, rd = get_rays_np(H, W, K, sc["poses"][0])
+    jj = rng.integers(0, H, n)
+    ii = rng.integers(0, W, n)
+    rays_o = ro[jj, ii].astype(np.float32)
+    rays_d = rd[jj, ii].astype(np.float32)
+    z3d = np.sort(
+        rng.uniform(1.0, 8.0, size=(n, S)).astype(np.float32), axis=-1
+    )
+    src_view = 2
+
+    # reference: img [B,3,H,W] tiled over samples; depth [B,1,N]; ro/rd [B,3,N]
+    B = S
+    img = _t(sc["images"][src_view]).permute(2, 0, 1)[None].repeat(B, 1, 1, 1)
+    depth = _t(z3d.T[:, None, :])  # [S,1,n] -> but ref wants [B,H,W]
+    depth = _t(z3d.T).reshape(B, 1, n)
+    ro1 = _t(rays_o.T)[None].repeat(B, 1, 1)
+    rd1 = _t(rays_d.T)[None].repeat(B, 1, 1)
+    pose = _t(sc["poses"][src_view])[None].repeat(B, 1, 1)
+    K_t = _t(K)[None].repeat(B, 1, 1)
+    with torch.no_grad():
+        warped, _ = ref.warp.inverse_warp_rod1_rt2_coords(
+            img, depth.reshape(B, 1, n), ro1, rd1, pose, K_t,
+            torch.inverse(K_t), padding_mode="zeros",
+        )
+    theirs = warped.reshape(B, 3, n).permute(2, 0, 1).numpy()  # [n, S, 3]
+
+    scene = prepare_scene(sc["images"], sc["poses"], K)  # u8-packed
+    ours = np.asarray(
+        epipolar_colors(
+            scene["images"], scene["fused_mats"], jnp.asarray(K),
+            jnp.full((n, 1), src_view, jnp.int32),
+            jnp.asarray(rays_o), jnp.asarray(rays_d), jnp.asarray(z3d),
+        )
+    )[:, 0]  # [n, S, 3]
+
+    # u8 quantization bounds the delta at ~1/255 per corner
+    close = np.abs(ours - theirs) < 0.02
+    assert close.mean() > 0.97, close.mean()
+
+
+# -------------------------------------------------------------- composite
+
+
+def test_raw2outputs_matches_reference(ref):
+    import importlib
+    import jax.numpy as jnp
+
+    from pronerf_tpu.ops.composite import composite
+
+    base = importlib.import_module("run_S_eS_eN_alter_base")
+    rng = np.random.default_rng(5)
+    N, S = 24, 8
+    raw = rng.normal(0, 3, size=(N, S, 4)).astype(np.float32)
+    z = np.sort(rng.uniform(0, 1, size=(N, S)), -1).astype(np.float32)
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    add = rng.normal(size=(N, S)).astype(np.float32)
+    mul = rng.normal(size=(N, S)).astype(np.float32)
+
+    with torch.no_grad():
+        rgb_t, disp_t, acc_t, w_t, depth_t = base.raw2outputs(
+            _t(raw), _t(z), _t(d), raw_noise_std=0, white_bkgd=False,
+            mm_density_add=_t(add), mm_density_mul=_t(mul),
+        )
+    ours = composite(
+        jnp.asarray(raw), jnp.asarray(z), jnp.asarray(d),
+        mm_add=jnp.asarray(add), mm_mul=jnp.asarray(mul), clamp_raw=True,
+    )
+    np.testing.assert_allclose(np.asarray(ours["rgb"]), rgb_t.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ours["depth"]), depth_t.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ours["acc"]), acc_t.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ours["weights"]), w_t.numpy(), atol=2e-5)
+
+
+# ------------------------------------------------- full pipeline (eval mode)
+
+
+def test_full_render_rays_matches_reference(ref):
+    """End-to-end render_rays parity in deterministic eval mode: identical
+    weights, scene, and rays through both implementations (float corner
+    path so the only deltas are float reassociation)."""
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from pronerf_tpu.models import RenderStatics, init_pronerf_params, render_rays
+    from pronerf_tpu.render.raygen import prepare_scene, rays_for_pose
+    from pronerf_tpu.utils.synthetic import make_consistent_scene
+
+    base = importlib.import_module("run_S_eS_eN_alter_base")
+    sc = make_consistent_scene(n_views=5, H=20, W=26, seed=6)
+    H, W, _ = sc["hwf"]
+    K = sc["K"]
+    V = 2  # neighbors
+    n = 48
+
+    params = init_pronerf_params(jax.random.PRNGKey(3), num_neighbor=V)
+    nerf_t = _load_nerf_into_torch(ref, params["nerf"])
+    sampler_t = _load_minmax_into_torch(ref, params["sampler"], 288, 27)
+    refine_t = _load_minmax_into_torch(
+        ref, params["refine"], 6 * 8 + 3 * V * 8, 35
+    )
+
+    # --- ours ---
+    scene = prepare_scene(
+        sc["images"][:4], sc["poses"][:4], K, pack_corners=False
+    )
+    rays = rays_for_pose(H, W, K, sc["poses"][4])
+    rays = {k: v[:n] for k, v in rays.items()}
+    controls = {
+        "rng": jax.random.PRNGKey(0),
+        "target_t": jnp.asarray(sc["poses"][4][:3, 3]),
+    }
+    statics = RenderStatics.stage1_sampler(randomize=False, num_neighbor=V)
+    ours = render_rays(params, rays, scene, controls, statics)
+
+    # --- theirs ---
+    embed_fn, _ = ref.helpers.get_embedder(10, 0)
+    embeddirs_fn, _ = ref.helpers.get_embedder(4, 0)
+
+    def network_query_fn(inputs, viewdirs, fn):
+        return base.run_network(
+            inputs, viewdirs, fn, embed_fn, embeddirs_fn, netchunk=65536
+        )
+
+    ray_batch = torch.cat(
+        [
+            _t(rays["ndc_o"]), _t(rays["ndc_d"]),
+            torch.full((n, 1), 1e-6), torch.full((n, 1), 1.0),
+            _t(rays["viewdirs"]),
+        ],
+        -1,
+    )
+    or_ray_batch = torch.cat(
+        [
+            _t(rays["or_o"]), _t(rays["or_d"]),
+            torch.full((n, 1), 1.0), torch.full((n, 1), 10.0),
+            _t(rays["viewdirs"]),
+        ],
+        -1,
+    )
+    with torch.no_grad():
+        theirs = base.render_rays(
+            ray_batch, or_ray_batch,
+            network_fn=nerf_t,
+            network_query_fn=network_query_fn,
+            N_samples=8,
+            raw_noise_std=0.0,
+            min_max_ray_net=sampler_t,
+            refine_net=refine_t,
+            N_point_ray_enc=48,
+            embed_fn=embed_fn,
+            embeddirs_fn=embeddirs_fn,
+            randomize=False,
+            train_sampler=True,
+            train_nerf=True,
+            embed_rays=ref.helpers.Pluecker(),
+            num_neighbor=V,
+            images=_t(sc["images"][:4]),
+            poses=_t(sc["poses"][:4]),
+            ref_K=_t(K),
+            target_pose=_t(sc["poses"][4]),
+            batch_rays_nearest_id=torch.zeros(n, V + 1),
+        )
+    np.testing.assert_allclose(
+        np.asarray(ours["mm_rgb"]), theirs["mm_rgb"].numpy(), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["rgb0"]), theirs["rgb_map0"].numpy(), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["rgb1"]), theirs["rgb_map1"].numpy(), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["depth"]), theirs["depth_map"].numpy(), atol=1e-3
+    )

@@ -349,3 +349,220 @@ def test_full_render_rays_matches_reference(ref):
     np.testing.assert_allclose(
         np.asarray(ours["depth"]), theirs["depth_map"].numpy(), atol=1e-3
     )
+
+
+def test_stage2_render_rays_matches_reference(ref):
+    """Stage-2 eval parity: near=0, NDC eps 1e-5, [v,s,c] epipolar layout,
+    offsets always added, no clamp (run_S_eS_eN_alter_base_refine2)."""
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from pronerf_tpu.models import RenderStatics, init_pronerf_params, render_rays
+    from pronerf_tpu.render.raygen import prepare_scene, rays_for_pose
+    from pronerf_tpu.utils.synthetic import make_consistent_scene
+
+    s2 = importlib.import_module("run_S_eS_eN_alter_base_refine2")
+    sc = make_consistent_scene(n_views=5, H=20, W=26, seed=7)
+    H, W, _ = sc["hwf"]
+    K = sc["K"]
+    V, n = 2, 40
+
+    params = init_pronerf_params(jax.random.PRNGKey(4), num_neighbor=V)
+    nerf_t = _load_nerf_into_torch(ref, params["nerf"])
+    sampler_t = _load_minmax_into_torch(ref, params["sampler"], 288, 27)
+    refine_t = _load_minmax_into_torch(
+        ref, params["refine"], 6 * 8 + 3 * V * 8, 35
+    )
+
+    scene = prepare_scene(
+        sc["images"][:4], sc["poses"][:4], K, pack_corners=False
+    )
+    rays = rays_for_pose(H, W, K, sc["poses"][4])
+    rays = {k: v[:n] for k, v in rays.items()}
+    controls = {
+        "rng": jax.random.PRNGKey(0),
+        "target_t": jnp.asarray(sc["poses"][4][:3, 3]),
+    }
+    ours = render_rays(
+        params, rays, scene, controls,
+        RenderStatics.stage2(randomize=False, num_neighbor=V),
+    )
+
+    embed_fn, _ = ref.helpers.get_embedder(10, 0)
+    embeddirs_fn, _ = ref.helpers.get_embedder(4, 0)
+
+    def network_query_fn(inputs, viewdirs, fn):
+        return s2.run_network(
+            inputs, viewdirs, fn, embed_fn, embeddirs_fn, netchunk=65536
+        )
+
+    ray_batch = torch.cat(
+        [
+            _t(rays["ndc_o"]), _t(rays["ndc_d"]),
+            torch.full((n, 1), 0.0), torch.full((n, 1), 1.0),
+            _t(rays["viewdirs"]),
+        ],
+        -1,
+    )
+    or_ray_batch = torch.cat(
+        [
+            _t(rays["or_o"]), _t(rays["or_d"]),
+            torch.full((n, 1), 1.0), torch.full((n, 1), 10.0),
+            _t(rays["viewdirs"]),
+        ],
+        -1,
+    )
+    with torch.no_grad():
+        theirs = s2.render_rays(
+            ray_batch, or_ray_batch,
+            network_fn=nerf_t,
+            network_query_fn=network_query_fn,
+            N_samples=8,
+            network_fine=nerf_t,
+            raw_noise_std=1.0,  # gated off by train_nerf=False
+            min_max_ray_net=sampler_t,
+            refine_net=refine_t,
+            N_point_ray_enc=48,
+            embed_fn=embed_fn,
+            embeddirs_fn=embeddirs_fn,
+            randomize=False,
+            train_nerf=False,
+            embed_rays=ref.helpers.Pluecker(),
+            num_neighbor=V,
+            images=_t(sc["images"][:4]),
+            poses=_t(sc["poses"][:4]),
+            ref_K=_t(K),
+            target_pose=_t(sc["poses"][4]),
+        )
+    np.testing.assert_allclose(
+        np.asarray(ours["rgb1"]), theirs["rgb_map1"].numpy(), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["depth"]), theirs["depth_map"].numpy(), atol=1e-3
+    )
+
+
+def test_sampler_step_gradients_match_reference(ref):
+    """Gradient-topology parity for the stage-1 sampler step: identical
+    weights/batch, deterministic eval-style forward, loss = mse(rgb1) +
+    mse(rgb0) + mse(mm_rgb); per-net gradients must match (validates that
+    stop_gradient placement reproduces the reference's no_grad boundaries,
+    e.g. the warp detach)."""
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from pronerf_tpu.models import RenderStatics, init_pronerf_params, render_rays
+    from pronerf_tpu.render.raygen import prepare_scene, rays_for_pose
+    from pronerf_tpu.utils.synthetic import make_consistent_scene
+
+    base = importlib.import_module("run_S_eS_eN_alter_base")
+    sc = make_consistent_scene(n_views=5, H=20, W=26, seed=8)
+    H, W, _ = sc["hwf"]
+    K = sc["K"]
+    V, n = 2, 32
+
+    params = init_pronerf_params(jax.random.PRNGKey(5), num_neighbor=V)
+    nerf_t = _load_nerf_into_torch(ref, params["nerf"]).train()
+    sampler_t = _load_minmax_into_torch(ref, params["sampler"], 288, 27).train()
+    refine_t = _load_minmax_into_torch(
+        ref, params["refine"], 6 * 8 + 3 * V * 8, 35
+    ).train()
+
+    scene = prepare_scene(
+        sc["images"][:4], sc["poses"][:4], K, pack_corners=False
+    )
+    rays = rays_for_pose(H, W, K, sc["poses"][4])
+    rays = {k: v[:n] for k, v in rays.items()}
+    target = jnp.asarray(sc["images"][4].reshape(-1, 3)[:n])
+    controls = {
+        "rng": jax.random.PRNGKey(0),
+        "target_t": jnp.asarray(sc["poses"][4][:3, 3]),
+    }
+    statics = RenderStatics.stage1_sampler(randomize=False, num_neighbor=V)
+
+    def loss_fn(p):
+        out = render_rays(p, rays, scene, controls, statics)
+        return (
+            jnp.mean((out["rgb1"] - target) ** 2)
+            + jnp.mean((out["rgb0"] - target) ** 2)
+            + jnp.mean((out["mm_rgb"] - target) ** 2)
+        )
+
+    g_ours = jax.grad(loss_fn)(params)
+
+    embed_fn, _ = ref.helpers.get_embedder(10, 0)
+    embeddirs_fn, _ = ref.helpers.get_embedder(4, 0)
+
+    def network_query_fn(inputs, viewdirs, fn):
+        return base.run_network(
+            inputs, viewdirs, fn, embed_fn, embeddirs_fn, netchunk=65536
+        )
+
+    ray_batch = torch.cat(
+        [
+            _t(rays["ndc_o"]), _t(rays["ndc_d"]),
+            torch.full((n, 1), 1e-6), torch.full((n, 1), 1.0),
+            _t(rays["viewdirs"]),
+        ],
+        -1,
+    )
+    or_ray_batch = torch.cat(
+        [
+            _t(rays["or_o"]), _t(rays["or_d"]),
+            torch.full((n, 1), 1.0), torch.full((n, 1), 10.0),
+            _t(rays["viewdirs"]),
+        ],
+        -1,
+    )
+    out_t = base.render_rays(
+        ray_batch, or_ray_batch,
+        network_fn=nerf_t,
+        network_query_fn=network_query_fn,
+        N_samples=8,
+        raw_noise_std=0.0,
+        min_max_ray_net=sampler_t,
+        refine_net=refine_t,
+        N_point_ray_enc=48,
+        embed_fn=embed_fn,
+        embeddirs_fn=embeddirs_fn,
+        randomize=False,
+        train_sampler=True,
+        train_nerf=True,
+        embed_rays=ref.helpers.Pluecker(),
+        num_neighbor=V,
+        images=_t(sc["images"][:4]),
+        poses=_t(sc["poses"][:4]),
+        ref_K=_t(K),
+        target_pose=_t(sc["poses"][4]),
+        batch_rays_nearest_id=torch.zeros(n, V + 1),
+    )
+    tgt = _t(np.asarray(target))
+    loss_t = (
+        ((out_t["rgb_map1"] - tgt) ** 2).mean()
+        + ((out_t["rgb_map0"] - tgt) ** 2).mean()
+        + ((out_t["mm_rgb"] - tgt) ** 2).mean()
+    )
+    loss_t.backward()
+
+    def cmp(ours_arr, theirs_param, atol):
+        g_t = theirs_param.grad
+        assert g_t is not None
+        theirs = g_t.numpy().T if g_t.ndim == 2 else g_t.numpy()
+        scale = max(np.abs(theirs).max(), 1e-8)
+        np.testing.assert_allclose(
+            np.asarray(ours_arr) / scale, theirs / scale, atol=atol
+        )
+
+    # sampler net: grads flow through depths, mm terms, mm_rgb
+    cmp(g_ours["sampler"]["out"]["w"], sampler_t.fc_output.weight, 2e-3)
+    cmp(g_ours["sampler"]["layers"][0]["w"], sampler_t.fc_backbone[0].weight, 2e-3)
+    # refine net
+    cmp(g_ours["refine"]["out"]["w"], refine_t.fc_output.weight, 2e-3)
+    cmp(g_ours["refine"]["layers"][0]["w"], refine_t.fc_backbone[0].weight, 2e-3)
+    # nerf
+    cmp(g_ours["nerf"]["rgb"]["w"], nerf_t.rgb_linear.weight, 2e-3)
+    cmp(g_ours["nerf"]["pts"][0]["w"], nerf_t.pts_linears[0].weight, 2e-3)

@@ -63,7 +63,9 @@ def run_bench(H=378, W=504, frames_per_loop=6, reps=4,
     statics = RenderStatics.infer(
         compute_dtype=compute_dtype, use_pallas=use_pallas
     )
-    renderer = make_frame_renderer(statics, H, W, sc["K"], tile_rays=16384)
+    renderer = make_frame_renderer(
+        statics, H, W, sc["K"], tile_rays=16384, unroll=True
+    )
     c2w = jnp.asarray(sc["poses"][0])
 
     out = renderer(params, scene, c2w)  # compile + warm
@@ -98,6 +100,7 @@ def main():
             "dispatch_null_ms": round(null, 2),
             "samples_per_ray": 8,
             "warp": "u8-packed corner gather",
+            "tile_loop": "unrolled",
         },
     }
     print(json.dumps(result))

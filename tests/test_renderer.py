@@ -77,3 +77,41 @@ def test_export_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(aot["rgb1"]), np.asarray(live["rgb1"]), atol=1e-5
     )
+
+
+def test_export_bf16_variant(tmp_path):
+    sc, scene, params = _setup(seed=1)
+    H, W, _ = sc["hwf"]
+    export_renderer(
+        params, scene, tmp_path, H, W, sc["K"], tile_rays=128,
+        compute_dtype="bfloat16",
+    )
+    call, loaded, manifest = load_exported_renderer(tmp_path)
+    assert manifest["compute_dtype"] == "bfloat16"
+    out = call(loaded, scene, jnp.asarray(sc["poses"][0]))
+    assert np.all(np.isfinite(np.asarray(out["rgb1"])))
+
+
+def test_render_path_render_factor(tmp_path):
+    sc, scene, params = _setup()
+    H, W, _ = sc["hwf"]
+    res = render_path(
+        sc["poses"][:1], params, scene,
+        RenderStatics.infer(), H, W, sc["K"],
+        savedir=tmp_path, tile_rays=64, render_factor=2,
+    )
+    assert res["rgbs1"].shape == (1, H // 2, W // 2, 3)
+
+
+def test_unrolled_renderer_matches_lax_map():
+    sc, scene, params = _setup(seed=2)
+    H, W, _ = sc["hwf"]
+    statics = RenderStatics.infer()
+    c2w = jnp.asarray(sc["poses"][1])
+    a = make_frame_renderer(statics, H, W, sc["K"], tile_rays=64)(params, scene, c2w)
+    b = make_frame_renderer(statics, H, W, sc["K"], tile_rays=64, unroll=True)(
+        params, scene, c2w
+    )
+    np.testing.assert_allclose(
+        np.asarray(a["rgb1"]), np.asarray(b["rgb1"]), atol=1e-6
+    )

@@ -138,3 +138,32 @@ def test_load_llff_data_infer(tmp_path):
     np.testing.assert_array_equal(i_test, [0, 3])
     assert len(i_ref) == 2
     assert all(r not in i_test for r in i_ref)
+
+
+def test_spherify_poses():
+    from pronerf_tpu.data import spherify_poses
+
+    rng = np.random.default_rng(3)
+    # cameras on a sphere looking inward
+    n = 10
+    poses = []
+    for t in range(n):
+        th = 2 * np.pi * t / n
+        pos = 3.0 * np.array([np.cos(th), np.sin(th), 0.3])
+        z = pos / np.linalg.norm(pos)  # looking through origin
+        up = np.array([0, 0, 1.0])
+        x = np.cross(up, z); x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        poses.append(np.stack([x, y, z, pos], 1))
+    poses = np.asarray(poses, np.float32)
+    poses = np.concatenate(
+        [poses, np.tile(np.array([[24.0], [32.0], [30.0]], np.float32)[None], (n, 1, 1))], -1
+    )
+    bds = np.tile(np.array([2.0, 6.0], np.float32), (n, 1))
+    reset, new_poses, bds2 = spherify_poses(poses, bds)
+    # rescaled to ~unit camera radius
+    rad = np.sqrt(np.mean(np.sum(reset[:, :3, 3] ** 2, -1)))
+    np.testing.assert_allclose(rad, 1.0, atol=1e-5)
+    assert new_poses.shape[0] == 120
+    assert bds2.shape == bds.shape
+

@@ -566,3 +566,37 @@ def test_sampler_step_gradients_match_reference(ref):
     # nerf
     cmp(g_ours["nerf"]["rgb"]["w"], nerf_t.rgb_linear.weight, 2e-3)
     cmp(g_ours["nerf"]["pts"][0]["w"], nerf_t.pts_linears[0].weight, 2e-3)
+
+
+def test_sample_pdf_matches_reference_det(ref):
+    """Deterministic hierarchical sampling vs the reference's sample_pdf."""
+    import jax
+    import jax.numpy as jnp
+
+    from pronerf_tpu.ops.sampling import sample_pdf
+
+    rng = np.random.default_rng(9)
+    bins = np.sort(rng.uniform(0, 1, size=(12, 9)), -1).astype(np.float32)
+    weights = rng.uniform(0, 1, size=(12, 8)).astype(np.float32)
+    with torch.no_grad():
+        theirs = ref.helpers.sample_pdf(
+            _t(bins), _t(weights), 16, det=True
+        ).numpy()
+    ours = np.asarray(
+        sample_pdf(jax.random.PRNGKey(0), jnp.asarray(bins),
+                   jnp.asarray(weights), 16, det=True)
+    )
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_img2ssim_matches_reference(ref):
+    """Our convolve-based SSIM vs the reference's scipy-based one."""
+    scipy = pytest.importorskip("scipy")
+    from pronerf_tpu.ops.metrics import img2ssim
+
+    rng = np.random.default_rng(10)
+    a = rng.uniform(0, 1, size=(24, 30, 3)).astype(np.float64)
+    b = np.clip(a + rng.normal(0, 0.05, a.shape), 0, 1)
+    theirs = ref.helpers.img2ssim(a, b)
+    ours = img2ssim(a, b)
+    np.testing.assert_allclose(ours, theirs, atol=1e-8)

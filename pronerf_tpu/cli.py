@@ -87,6 +87,14 @@ def cmd_train_stage2(args):
 
 
 def cmd_infer(args):
+    if getattr(args, "from_export", None):
+        from pronerf_tpu.render.infer import run_inference_from_export
+
+        run_inference_from_export(
+            _build_cfg(args, DEFAULT_TRT_CONFIG), args.from_export,
+            timing_reps=args.timing_reps,
+        )
+        return
     from pronerf_tpu.render.infer import run_inference
 
     run_inference(
@@ -170,6 +178,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-images", type=int, default=None, dest="max_images")
     p.add_argument("--timing-reps", type=int, default=0, dest="timing_reps",
                    help="timed re-renders per pose (reference uses 20)")
+    p.add_argument("--from-export", default=None, dest="from_export",
+                   metavar="DIR",
+                   help="serve frames from a serialized `export` artifact "
+                        "(runs the AOT executable, no re-compile)")
     _add_passthrough(p)
     p.set_defaults(func=cmd_infer)
 

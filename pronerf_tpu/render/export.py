@@ -1,17 +1,24 @@
 """AOT export of the inference renderer — the TPU-native replacement for
-ONNX -> TensorRT engine building (``onnx2trt.py:7-55``,
-``run_S_eS_eN_alter_trt.py:377-409``).
+ONNX -> TensorRT engine building AND engine execution
+(``onnx2trt.py:7-55``, ``run_S_eS_eN_alter_trt.py:377-409``,
+``trt_infer_v2.py:149-394``).
 
 Instead of exporting the three MLPs separately and re-stitching them with
 device buffers at runtime, the WHOLE frame pipeline (sampler -> warp ->
 refine -> NeRF -> compositing, tiled) is lowered once via ``jax.export``
-into a serialized StableHLO executable, bundled with msgpack'd params and a
-JSON manifest. ``expected_artifact_paths`` mirrors
-``pronerf/tensorrt.py:8-14`` for CLI surface parity.
+into a serialized StableHLO executable, bundled with msgpack'd params, the
+prepared reference-view scene, and a JSON manifest carrying the full
+``RenderStatics`` so a non-default model (e.g. ``netarch=donerf`` or a
+different ``N_samples``/``num_neighbor``) round-trips exactly.
+``expected_artifact_paths`` mirrors ``pronerf/tensorrt.py:8-14`` for CLI
+surface parity; serving from the artifact (``load_exported_renderer`` +
+calling it) is the analogue of running the deserialized engines
+(``trt_infer_v2.py:149-229``).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 from pathlib import Path
 
@@ -34,6 +41,22 @@ def expected_artifact_paths(export_dir) -> dict:
     }
 
 
+def _statics_to_json(statics: RenderStatics) -> dict:
+    d = dataclasses.asdict(statics)
+    for k, v in d.items():
+        if isinstance(v, tuple):
+            d[k] = list(v)
+    return d
+
+
+def statics_from_manifest(manifest: dict) -> RenderStatics:
+    """Rebuild the exported graph's RenderStatics from its manifest."""
+    d = dict(manifest["statics"])
+    for k in ("netskips", "mmnetskips"):
+        d[k] = tuple(d[k])
+    return RenderStatics(**d)
+
+
 def export_renderer(
     params,
     scene,
@@ -42,18 +65,27 @@ def export_renderer(
     W: int,
     K,
     tile_rays: int = 8192,
+    statics: RenderStatics | None = None,
     compute_dtype=None,
+    unroll: bool = False,
 ):
-    """Lower + serialize the frame renderer for (H, W) and save params."""
-    statics = RenderStatics.infer(compute_dtype=compute_dtype)
-    renderer = make_frame_renderer(statics, H, W, K, tile_rays)
+    """Lower + serialize the frame renderer for (H, W); bundle params+scene.
+
+    Pass the full ``statics`` of the model being exported; the legacy
+    ``compute_dtype``-only form builds default inference statics (which
+    would mis-serve a non-default checkpoint — callers with a Config should
+    always pass statics).
+    """
+    if statics is None:
+        statics = RenderStatics.infer(compute_dtype=compute_dtype)
+    renderer = make_frame_renderer(statics, H, W, K, tile_rays, unroll=unroll)
     c2w = jax.numpy.eye(3, 4)
     exported = jax_export.export(renderer)(params, scene, c2w)
 
     paths = expected_artifact_paths(export_dir)
     Path(export_dir).mkdir(parents=True, exist_ok=True)
     paths["executable"].write_bytes(exported.serialize())
-    save_checkpoint(paths["params"], {"params": params})
+    save_checkpoint(paths["params"], {"params": params, "scene": scene})
     paths["manifest"].write_text(
         json.dumps(
             {
@@ -61,7 +93,9 @@ def export_renderer(
                 "W": W,
                 "K": np.asarray(K).tolist(),
                 "tile_rays": tile_rays,
-                "compute_dtype": compute_dtype or "float32",
+                "unroll": unroll,
+                "compute_dtype": statics.compute_dtype or "float32",
+                "statics": _statics_to_json(statics),
                 "platforms": list(exported.platforms),
             },
             indent=2,
@@ -71,12 +105,15 @@ def export_renderer(
 
 
 def load_exported_renderer(export_dir):
-    """Deserialize an exported renderer; returns (call_fn, params, manifest).
+    """Deserialize an exported renderer.
 
-    ``call_fn(params, scene, c2w)`` executes the AOT graph.
+    Returns ``(call_fn, params, scene, manifest)``;
+    ``call_fn(params, scene, c2w)`` executes the AOT graph. ``scene`` is the
+    bundled reference-view scene the artifact was built with (None for
+    pre-bundling artifacts).
     """
     paths = expected_artifact_paths(export_dir)
     exported = jax_export.deserialize(paths["executable"].read_bytes())
     manifest = json.loads(paths["manifest"].read_text())
-    params = load_checkpoint(paths["params"])["params"]
-    return exported.call, params, manifest
+    bundle = load_checkpoint(paths["params"])
+    return exported.call, bundle["params"], bundle.get("scene"), manifest

@@ -167,10 +167,68 @@ def run_export(cfg: Config, height: int = 756, width: int = 1008):
     paths = export_renderer(
         params, scene, expdir / "export", height, width, K,
         tile_rays=cfg.tile_rays,
-        compute_dtype="bfloat16" if cfg.use_trt else cfg.compute_dtype,
+        statics=_infer_statics(cfg, use_bf16=cfg.use_trt),
     )
     print(f"Exported AOT renderer to {paths['executable']}")
     return paths
+
+
+def run_inference_from_export(cfg: Config, export_dir, timing_reps: int = 0):
+    """``infer --from-export``: serve frames from the serialized AOT
+    artifact — the analogue of the reference actually RUNNING its TRT
+    engines inside render_rays (``trt_infer_v2.py:149-394``,
+    ``run_S_eS_eN_alter_trt.py:625-694``). No tracing/compilation of the
+    pipeline happens here: the StableHLO executable is deserialized and
+    called with the bundled params + reference-view scene."""
+    import time
+
+    import jax.numpy as jnp
+
+    from pronerf_tpu.ops.metrics import to8b
+    from pronerf_tpu.render.export import load_exported_renderer
+
+    call, params, scene, manifest = load_exported_renderer(export_dir)
+    if scene is None:
+        raise SystemExit(
+            f"export at {export_dir} predates scene bundling; re-export"
+        )
+    H, W = manifest["H"], manifest["W"]
+    print(f"Serving {H}x{W} frames from {export_dir} "
+          f"({manifest['compute_dtype']}, tile_rays={manifest['tile_rays']})")
+
+    data = load_inference_data(cfg)
+    expdir = setup_expdir(cfg)
+    i_test = data["i_test"]
+    if cfg.max_images is not None:
+        i_test = i_test[: cfg.max_images]
+    savedir = expdir / "export_test"
+    savedir.mkdir(parents=True, exist_ok=True)
+
+    same_res = (H == data["H"] and W == data["W"])
+    psnrs, times_ms = [], []
+    import imageio.v2 as imageio
+
+    for k, idx in enumerate(np.asarray(i_test)):
+        c2w = jnp.asarray(data["poses"][idx][:3, :4])
+        out = jax.block_until_ready(call(params, scene, c2w))
+        for _ in range(timing_reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(call(params, scene, c2w))
+            ms = (time.perf_counter() - t0) * 1e3
+            times_ms.append(ms)
+            print(f"Render path time: {ms:.3f}")
+        rgb1 = np.asarray(out["rgb1"])
+        imageio.imwrite(savedir / f"{k:03d}.png", to8b(rgb1))
+        if same_res:
+            gt = np.asarray(data["images"][idx])
+            psnrs.append(-10.0 * np.log10(np.mean((rgb1 - gt) ** 2)))
+    if psnrs:
+        print(psnrs)
+        print(f"Mean Test PSNR {float(np.mean(psnrs))}")
+    elif not same_res:
+        print(f"(export res {W}x{H} != data res {data['W']}x{data['H']}; "
+              "PSNR skipped)")
+    return {"psnrs": psnrs, "times_ms": times_ms, "savedir": str(savedir)}
 
 
 def run_render_path(cfg: Config, n_frames: int | None = None, fps: int = 30):

@@ -59,3 +59,20 @@ def test_full_llff_workflow(llff_root, tmp_path, capsys):
     # expdir contract
     for f in ("args.txt",):
         assert (tmp_path / "inf" / f).exists()
+
+    # export at the data resolution, then SERVE from the artifact
+    # (the reference runs its TRT engines; we run the AOT executable)
+    main(
+        ["export", "--checkpoint", str(s2), "--height", "32", "--width", "40"]
+        + _common(llff_root, tmp_path, "exp")
+    )
+    export_dir = tmp_path / "exp" / "export"
+    assert (export_dir / "render_frame.xla").exists()
+    capsys.readouterr()
+    main(
+        ["infer", "--from-export", str(export_dir), "--max-images", "1"]
+        + _common(llff_root, tmp_path, "exp")
+    )
+    out = capsys.readouterr().out
+    assert "Mean Test PSNR" in out
+    assert list((tmp_path / "exp" / "export_test").glob("*.png"))

@@ -67,13 +67,16 @@ def test_export_roundtrip(tmp_path):
     )
     for p in expected_artifact_paths(tmp_path).values():
         assert p.exists(), p
-    call, loaded_params, manifest = load_exported_renderer(tmp_path)
+    call, loaded_params, loaded_scene, manifest = load_exported_renderer(
+        tmp_path
+    )
     assert manifest["H"] == H and manifest["compute_dtype"] == "float32"
     c2w = jnp.asarray(sc["poses"][1])
     live = make_frame_renderer(
         RenderStatics.infer(), H, W, sc["K"], tile_rays=128
     )(params, scene, c2w)
-    aot = call(loaded_params, scene, c2w)
+    # Serve purely from the artifact: bundled params AND bundled scene.
+    aot = call(loaded_params, loaded_scene, c2w)
     np.testing.assert_allclose(
         np.asarray(aot["rgb1"]), np.asarray(live["rgb1"]), atol=1e-5
     )
@@ -86,10 +89,43 @@ def test_export_bf16_variant(tmp_path):
         params, scene, tmp_path, H, W, sc["K"], tile_rays=128,
         compute_dtype="bfloat16",
     )
-    call, loaded, manifest = load_exported_renderer(tmp_path)
+    call, loaded, loaded_scene, manifest = load_exported_renderer(tmp_path)
     assert manifest["compute_dtype"] == "bfloat16"
-    out = call(loaded, scene, jnp.asarray(sc["poses"][0]))
+    assert manifest["statics"]["compute_dtype"] == "bfloat16"
+    out = call(loaded, loaded_scene, jnp.asarray(sc["poses"][0]))
     assert np.all(np.isfinite(np.asarray(out["rgb1"])))
+
+
+def test_export_nondefault_statics_roundtrip(tmp_path):
+    """A non-default checkpoint (donerf arch, N_samples=4, num_neighbor=2)
+    must export a graph built from ITS config, not the defaults — the
+    round-1 bug where export_renderer dropped cfg.netarch/N_samples/
+    num_neighbor (VERDICT.md missing-item 2)."""
+    from pronerf_tpu.render.export import statics_from_manifest
+
+    sc = make_scene(n_views=5, H=20, W=24, seed=3)
+    H, W, _ = sc["hwf"]
+    scene = prepare_scene(sc["images"], sc["poses"], sc["K"])
+    params = init_pronerf_params(
+        jax.random.PRNGKey(3), netarch="donerf", N_samples=4, num_neighbor=2
+    )
+    statics = RenderStatics.infer(
+        netarch="donerf", N_samples=4, num_neighbor=2
+    )
+    export_renderer(
+        params, scene, tmp_path, H, W, sc["K"], tile_rays=128, statics=statics
+    )
+    call, loaded_params, loaded_scene, manifest = load_exported_renderer(
+        tmp_path
+    )
+    assert statics_from_manifest(manifest) == statics
+    live = make_frame_renderer(statics, H, W, sc["K"], tile_rays=128)(
+        params, scene, jnp.asarray(sc["poses"][1])
+    )
+    aot = call(loaded_params, loaded_scene, jnp.asarray(sc["poses"][1]))
+    np.testing.assert_allclose(
+        np.asarray(aot["rgb1"]), np.asarray(live["rgb1"]), atol=1e-5
+    )
 
 
 def test_render_path_render_factor(tmp_path):

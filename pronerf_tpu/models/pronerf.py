@@ -195,8 +195,15 @@ def _select_neighbors(statics, rays, scene, controls):
     if statics.randomize:
         target_t = poses_t[rays["pose_id"]]  # [N, 3]
         dist = jnp.linalg.norm(target_t[:, None, :] - poses_t[None], axis=-1)
-        order = jnp.argsort(dist, axis=-1)  # [N, T]; order[:, 0] == self
-        candidates = order[:, 1:]
+        # Exclude the ray's own view BY INDEX (send it to +inf -> last in
+        # the sort) rather than assuming it wins the distance-0 tie at
+        # argsort position 0, which the reference does
+        # (``run_S_eS_eN_alter_base.py:627-634``) and which silently breaks
+        # when two training poses coincide.
+        own = jnp.arange(poses_t.shape[0])[None, :] == rays["pose_id"][:, None]
+        dist = jnp.where(own, jnp.inf, dist)
+        order = jnp.argsort(dist, axis=-1)  # [N, T]; self is now last
+        candidates = order[:, :-1]
         return jnp.take_along_axis(
             candidates,
             jnp.broadcast_to(

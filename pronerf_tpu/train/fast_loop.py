@@ -94,13 +94,17 @@ def make_scan_executor(cfg, H: int, W: int, focal: float, n_train: int,
                 state, metrics = joint_fn(
                     state, scene, batch, bids, controls, lr
                 )
-            return (state, metrics), metrics["loss"]
+            return (state, metrics), (metrics["loss"], metrics["psnr"])
 
-        (state, last_metrics), losses = jax.lax.scan(
+        (state, last_metrics), (losses, psnrs) = jax.lax.scan(
             body, (state, {"loss": jnp.float32(0), "psnr": jnp.float32(0)}),
             jnp.arange(scan_steps),
         )
-        last_metrics = dict(last_metrics, mean_loss=jnp.mean(losses))
+        last_metrics = dict(
+            last_metrics,
+            mean_loss=jnp.mean(losses),
+            mean_psnr=jnp.mean(psnrs),
+        )
         return state, last_metrics
 
     def executor(state, scene, pool, pool_ids, i_batch0, base_key):

@@ -333,18 +333,25 @@ def run_training(cfg: Config, stage: int):
             i_prev, i = i, i + chunk
             i_batch += stride
 
+            # Fail fast on EVERY chunk (one scalar readback), not only at
+            # print crossings — a divergence inside a chunk must not train
+            # on garbage until the next i_print boundary.
+            loss_val = float(metrics["mean_loss"])
+            if not np.isfinite(loss_val):
+                raise FloatingPointError(
+                    f"Non-finite chunk-mean loss {loss_val} at iter {i}"
+                )
+
             if crossed(cfg.i_print, i_prev, i):
-                loss_val = float(metrics["mean_loss"])
-                if not np.isfinite(loss_val):
-                    raise FloatingPointError(
-                        f"Non-finite loss {loss_val} at iter {i}"
-                    )
+                psnr_val = float(metrics["mean_psnr"])
                 rate = (i - start) / max(time.time() - t_start, 1e-9)
                 print(
                     f"[TRAIN] Iter: {i} Loss: {loss_val:.6f} "
-                    f"(chunk mean) lr: {lr_fn(i - 1):.3e} it/s: {rate:.2f}"
+                    f"PSNR: {psnr_val:.3f} (chunk means) "
+                    f"lr: {lr_fn(i - 1):.3e} it/s: {rate:.2f}"
                 )
-                logger.log(i, loss=loss_val, it_per_s=rate, mode="scan")
+                logger.log(i, loss=loss_val, psnr=psnr_val, it_per_s=rate,
+                           mode="scan")
 
             # events fire chunk-aligned (at most chunk-1 steps late;
             # checkpoints are named by the ACTUAL step)

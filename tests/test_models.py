@@ -206,3 +206,25 @@ def test_render_determinism():
     c2 = dict(controls, rng=jax.random.PRNGKey(99))
     c = render_rays(params, rays, scene, c2, statics)
     assert not np.array_equal(np.asarray(a["rgb1"]), np.asarray(c["rgb1"]))
+
+
+def test_neighbor_selection_excludes_own_view_under_coincident_poses():
+    """The ray's own view must never be selected as a source view, even
+    when another training pose coincides exactly with it (argsort tie) —
+    exclusion is by index, not by distance-sort position."""
+    from pronerf_tpu.models.pronerf import _select_neighbors
+
+    sc = make_scene(n_views=6, H=24, W=30, seed=0)
+    poses = np.asarray(sc["poses"]).copy()
+    poses[1] = poses[0]  # coincident translation with view 0
+    scene = prepare_scene(sc["images"], poses, sc["K"])
+    n = 16
+    rays = rays_for_pose(*[sc["hwf"][0], sc["hwf"][1]], sc["K"], poses[0])
+    rays = {k: v[:n] for k, v in rays.items()}
+    controls = {"neighbor_subset": jnp.asarray([0, 1, 2, 3], jnp.int32)}
+    statics = RenderStatics.stage1_sampler()
+    for own in (0, 1):
+        rays["pose_id"] = jnp.full((n,), own, jnp.int32)
+        idx = np.asarray(_select_neighbors(statics, rays, scene, controls))
+        assert idx.shape == (n, 4)
+        assert not np.any(idx == own), (own, idx[0])

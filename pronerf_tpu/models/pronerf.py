@@ -43,7 +43,11 @@ from pronerf_tpu.ops.sampling import (
     ndc_to_3d_depth,
     sort_with_payloads,
 )
-from pronerf_tpu.ops.warp import epipolar_colors, mean_fill_invalid
+from pronerf_tpu.ops.warp import (
+    epipolar_colors,
+    epipolar_colors_shared,
+    mean_fill_invalid,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -212,10 +216,18 @@ def _select_neighbors(statics, rays, scene, controls):
             ),
             axis=-1,
         )
-    dist = jnp.linalg.norm(controls["target_t"][None, :] - poses_t, axis=-1)
-    nearest = jnp.argsort(dist)[: statics.num_neighbor]
     n = rays["ndc_o"].shape[0]
+    nearest = _nearest_views(statics, scene, controls)
     return jnp.broadcast_to(nearest[None, :], (n, statics.num_neighbor))
+
+
+def _nearest_views(statics, scene, controls):
+    """[V] nearest training views to the eval/inference target pose —
+    shared by every ray of the frame (``run_S_eS_eN_alter_trt.py:281-284``)."""
+    dist = jnp.linalg.norm(
+        controls["target_t"][None, :] - scene["poses_t"], axis=-1
+    )
+    return jnp.argsort(dist)[: statics.num_neighbor]
 
 
 def render_rays(params, rays, scene, controls, statics: RenderStatics):
@@ -263,11 +275,21 @@ def render_rays(params, rays, scene, controls, statics: RenderStatics):
 
     # 3. Epipolar color features from per-ray neighbor views (never
     # differentiated — the reference wraps this whole block in no_grad).
-    view_idx = _select_neighbors(statics, rays, scene, controls)
-    colors = epipolar_colors(
-        scene["images"], scene["fused_mats"], scene["K"], view_idx,
-        rays["or_o"], rays["or_d"], jax.lax.stop_gradient(z3d),
-    )  # [N, V, S, 3]
+    if statics.randomize:
+        view_idx = _select_neighbors(statics, rays, scene, controls)
+        colors = epipolar_colors(
+            scene["images"], scene["fused_mats"], scene["K"], view_idx,
+            rays["or_o"], rays["or_d"], jax.lax.stop_gradient(z3d),
+        )  # [N, V, S, 3]
+    else:
+        # Deterministic eval/inference: one shared view set -> compacted
+        # single-view gathers (the TPU fast path; see
+        # ops/warp.py:epipolar_colors_shared).
+        nearest = _nearest_views(statics, scene, controls)
+        colors = epipolar_colors_shared(
+            scene["images"], scene["fused_mats"], scene["K"], nearest,
+            rays["or_o"], rays["or_d"], jax.lax.stop_gradient(z3d),
+        )  # [N, V, S, 3]
     colors = mean_fill_invalid(colors)
     colors = jax.lax.stop_gradient(colors)
     if statics.epi_layout == "svc":

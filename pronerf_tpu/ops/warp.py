@@ -287,6 +287,57 @@ def epipolar_colors(images, fused_mats, K, view_idx, rays_o, rays_d, z3d):
     return bilinear_sample(images, vidx, xn, yn)
 
 
+def epipolar_colors_shared(images, fused_mats, K, view_ids, rays_o, rays_d,
+                           z3d):
+    """Epipolar colors when ALL rays share the same source views (the
+    deterministic eval/inference selection, ``run_S_eS_eN_alter_trt.py:281-284``).
+
+    Numerically identical to :func:`epipolar_colors` with a broadcast
+    ``view_idx``, but restructured for the TPU gather emitter: each of the V
+    views is compacted to its own single-view table (one cheap dynamic
+    slice) and gathered independently. Measured on v5e
+    (``scripts/bench_gather2.py``): the emitter is ~2.5x faster when the
+    gather table fits the small-buffer staging threshold (~2.3 MB = exactly
+    one 504x378 packed view; even a 2-view table falls off the cliff), so
+    4 single-view gathers of N*S points beat one 4-view gather of N*V*S
+    points 16.6 ms vs 31.6 ms at the fern operating point.
+
+    Args:
+      images: as :func:`epipolar_colors`.
+      view_ids: [V] int32 source-view ids shared by every ray.
+      rays_o, rays_d: [N, 3] original camera-space rays.
+      z3d: [N, S] 3D depths.
+
+    Returns: colors [N, V, S, 3].
+    """
+    import jax
+
+    if images.ndim == 3:
+        T, H, W = images.shape
+    else:
+        T, H, W, C = images.shape
+    V = int(view_ids.shape[0])
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z3d[..., None]  # [N, S, 3]
+    outs = []
+    for v in range(V):
+        M = fused_mats[view_ids[v]]  # [3, 4]
+        xn, yn = project_points(pts, M, K, H, W)  # [N, S]
+        img_v = jax.lax.dynamic_index_in_dim(
+            images, view_ids[v], axis=0, keepdims=True
+        )  # [1, H, W, ...] single-view table
+        zero = jnp.zeros(xn.shape, jnp.int32)
+        if images.dtype == jnp.int32 and images.ndim == 3:
+            c = nearest_sample_packed_u8(img_v, zero, xn, yn)
+        elif images.dtype == jnp.int32:
+            c = bilinear_sample_packed_u8(img_v, zero, xn, yn)
+        elif C == 12:
+            c = bilinear_sample_packed(img_v, zero, xn, yn)
+        else:
+            c = bilinear_sample(img_v, zero, xn, yn)
+        outs.append(c)
+    return jnp.stack(outs, axis=1)
+
+
 def mean_fill_invalid(colors, eps: float = 1e-6):
     """Replace invalid (all-zero) warped colors by the mean of the valid
     neighbor views at the same (ray, sample), matching the reference's

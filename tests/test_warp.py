@@ -173,3 +173,41 @@ def test_nearest_u8_matches_exact_pixels():
         )
     )
     np.testing.assert_allclose(out, imgs[1].reshape(-1, 3), atol=1e-6)
+
+
+def test_epipolar_colors_shared_matches_general():
+    """The compacted shared-view fast path must equal epipolar_colors with a
+    broadcast view_idx, for every table format."""
+    import jax.numpy as jnp
+    from pronerf_tpu.ops.warp import (
+        build_corner_stack,
+        build_corner_stack_u8,
+        build_rgb_word_u8,
+        epipolar_colors,
+        epipolar_colors_shared,
+        fuse_projection,
+    )
+
+    rng = np.random.default_rng(5)
+    T, H, W, N, S, V = 6, 12, 16, 40, 8, 4
+    images = rng.random((T, H, W, 3), np.float32)
+    poses = np.stack([np.eye(3, 4, dtype=np.float32) for _ in range(T)])
+    poses[:, :3, 3] = rng.normal(0, 0.3, (T, 3))
+    K = np.array([[14.0, 0, W / 2], [0, 14.0, H / 2], [0, 0, 1]], np.float32)
+    M = fuse_projection(poses)
+    ro = rng.normal(0, 0.2, (N, 3)).astype(np.float32)
+    rd = rng.normal(0, 1, (N, 3)).astype(np.float32)
+    rd[:, 2] = -np.abs(rd[:, 2]) - 0.5
+    z = np.sort(rng.uniform(1.0, 6.0, (N, S)).astype(np.float32), -1)
+
+    view_ids = jnp.asarray([4, 0, 2, 5], jnp.int32)
+    bidx = jnp.broadcast_to(view_ids[None, :], (N, V))
+    for table in (
+        jnp.asarray(images),
+        build_corner_stack(jnp.asarray(images)),
+        build_corner_stack_u8(jnp.asarray(images)),
+        build_rgb_word_u8(jnp.asarray(images)),
+    ):
+        a = epipolar_colors(table, M, K, bidx, ro, rd, z)
+        b = epipolar_colors_shared(table, M, K, view_ids, ro, rd, z)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

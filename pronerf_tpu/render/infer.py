@@ -32,7 +32,13 @@ from pronerf_tpu.train.loop import (
 
 
 def load_inference_data(cfg: Config):
-    """LLFF infer data (COLMAP ref views) or the synthetic stand-in."""
+    """LLFF infer data (COLMAP ref views) or the synthetic stand-in.
+
+    Also enforces the flag contract (every inference driver loads data
+    first, so rejected/vestigial flags are reported before any compile)."""
+    from pronerf_tpu.config import enforce_flag_contract
+
+    enforce_flag_contract(cfg)
     if cfg.datadir == "synthetic":
         from pronerf_tpu.utils.synthetic import make_consistent_scene
 

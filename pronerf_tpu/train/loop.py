@@ -240,8 +240,41 @@ def _draw_controls(rng: np.random.Generator, n_train: int, cfg: Config, step: in
     }
 
 
+def _eval_statics(cfg: Config, stage: int) -> RenderStatics:
+    """Deterministic render statics for in-training eval (testset / i_img /
+    i_video), matching the training stage's behavior matrix."""
+    statics = (
+        RenderStatics.stage1_sampler(randomize=False)
+        if stage == 1 else RenderStatics.stage2(randomize=False)
+    )
+    return dataclasses.replace(
+        statics, netarch=cfg.netarch, N_samples=cfg.N_samples,
+        N_point_ray_enc=cfg.N_point_ray_enc,
+        num_neighbor=cfg.num_neighbor, multires=cfg.multires,
+        multires_views=cfg.multires_views, white_bkgd=cfg.white_bkgd,
+    )
+
+
+def _spiral_video(cfg: Config, stage: int, i: int, expdir, data, scene,
+                  params, H, W, K):
+    """``i_video``: spiral-path video during training. The reference defines
+    the flag but never writes any video (SURVEY §5 'vestigial'); here it is
+    implemented via the render-path machinery."""
+    from pronerf_tpu.render.renderer import save_video
+
+    res = render_path(
+        data["render_poses"], params, scene, _eval_statics(cfg, stage),
+        H, W, K, savedir=None, tile_rays=cfg.tile_rays,
+    )
+    out = save_video(res["rgbs1"], expdir / f"spiral_{i:06d}.mp4")
+    print(f"Saved spiral video {out}")
+
+
 def run_training(cfg: Config, stage: int):
     """Entry point for train-stage1 (stage=1) and train-stage2 (stage=2)."""
+    from pronerf_tpu.config import enforce_flag_contract
+
+    enforce_flag_contract(cfg)
     data = load_training_data(cfg)
     H, W, focal, K = data["H"], data["W"], data["focal"], data["K"]
     i_train, i_test = data["i_train"], data["i_test"]
@@ -365,24 +398,17 @@ def run_training(cfg: Config, stage: int):
             if cfg.i_testset > 0 and crossed(cfg.i_testset, i_prev, i) \
                     and i > start + chunk:
                 testsavedir = expdir / f"testset_{i:06d}"
-                statics = (
-                    RenderStatics.stage1_sampler(randomize=False)
-                    if stage == 1
-                    else RenderStatics.stage2(randomize=False)
-                )
-                statics = dataclasses.replace(
-                    statics, netarch=cfg.netarch, N_samples=cfg.N_samples,
-                    N_point_ray_enc=cfg.N_point_ray_enc,
-                    num_neighbor=cfg.num_neighbor, multires=cfg.multires,
-                    multires_views=cfg.multires_views,
-                    white_bkgd=cfg.white_bkgd,
-                )
                 render_path(
-                    data["poses"][i_test], state["params"], scene, statics,
+                    data["poses"][i_test], state["params"], scene,
+                    _eval_statics(cfg, stage),
                     H, W, K, gt_imgs=data["images"][i_test],
                     savedir=testsavedir, tile_rays=cfg.tile_rays,
                 )
                 print("Saved test set")
+            if cfg.i_video > 0 and crossed(cfg.i_video, i_prev, i) \
+                    and i > start + chunk:
+                _spiral_video(cfg, stage, i, expdir, data, scene,
+                              state["params"], H, W, K)
         start_tail = i
         iter_range = range(start_tail + 1, n_iters)
     else:
@@ -437,44 +463,26 @@ def run_training(cfg: Config, stage: int):
             # render logged as PNG
             from pronerf_tpu.render.renderer import make_frame_renderer
 
-            statics_img = (
-                RenderStatics.stage1_sampler(randomize=False)
-                if stage == 1 else RenderStatics.stage2(randomize=False)
+            r = make_frame_renderer(
+                _eval_statics(cfg, stage), H, W, K, cfg.tile_rays
             )
-            statics_img = dataclasses.replace(
-                statics_img, netarch=cfg.netarch, N_samples=cfg.N_samples,
-                N_point_ray_enc=cfg.N_point_ray_enc,
-                num_neighbor=cfg.num_neighbor, multires=cfg.multires,
-                multires_views=cfg.multires_views, white_bkgd=cfg.white_bkgd,
-            )
-            r = make_frame_renderer(statics_img, H, W, K, cfg.tile_rays)
             out = r(state["params"], scene,
                     jnp.asarray(data["poses"][i_test[0]]))
             save_image_log(expdir, i, "test0", np.asarray(out["rgb1"]))
 
         if cfg.i_testset > 0 and i % cfg.i_testset == 0 and i > start + 1:
             testsavedir = expdir / f"testset_{i:06d}"
-            statics = (
-                RenderStatics.stage1_sampler(randomize=False)
-                if stage == 1
-                else RenderStatics.stage2(randomize=False)
-            )
-            statics = dataclasses.replace(
-                statics,
-                netarch=cfg.netarch,
-                N_samples=cfg.N_samples,
-                N_point_ray_enc=cfg.N_point_ray_enc,
-                num_neighbor=cfg.num_neighbor,
-                multires=cfg.multires,
-                multires_views=cfg.multires_views,
-                white_bkgd=cfg.white_bkgd,
-            )
             render_path(
-                data["poses"][i_test], state["params"], scene, statics,
+                data["poses"][i_test], state["params"], scene,
+                _eval_statics(cfg, stage),
                 H, W, K, gt_imgs=data["images"][i_test],
                 savedir=testsavedir, tile_rays=cfg.tile_rays,
             )
             print("Saved test set")
+
+        if cfg.i_video > 0 and i % cfg.i_video == 0 and i > start + 1:
+            _spiral_video(cfg, stage, i, expdir, data, scene,
+                          state["params"], H, W, K)
 
     # final checkpoint so --max-steps smoke runs always leave one behind
     final = int(state["global_step"])

@@ -48,10 +48,32 @@ def _scene_name(datadir: str, idx: int) -> str:
 def run_multi_training(cfg: Config, datadirs, n_ray_shards: int = 1):
     """Train one stage-1 model per scene, all scenes in one dispatch/step."""
     n_scene = len(datadirs)
-    mesh = make_scene_mesh(
-        min(n_scene, max(1, len(jax.devices()) // max(1, n_ray_shards))),
-        n_ray_shards,
-    ) if n_scene * n_ray_shards <= len(jax.devices()) else make_scene_mesh(1, 1)
+    n_dev = len(jax.devices())
+    if n_scene * n_ray_shards > n_dev:
+        # Do NOT silently fall back to an unparallel (1,1) mesh: the caller
+        # asked for a layout the device pool cannot honor. Shrink the scene
+        # axis (scenes round-robin over mesh rows via the stacked leading
+        # dim) but refuse an impossible ray-shard request outright.
+        if n_ray_shards > n_dev:
+            raise ValueError(
+                f"ray_shards={n_ray_shards} exceeds the {n_dev} available "
+                f"devices; reduce --ray-shards"
+            )
+        scene_rows = min(max(1, n_dev // n_ray_shards), n_scene)
+        while n_scene % scene_rows:  # leading scene dim must shard evenly
+            scene_rows -= 1
+        print(
+            f"[TRAIN-MULTI] note: {n_scene} scenes x {n_ray_shards} ray "
+            f"shards > {n_dev} devices; using a ({scene_rows}, "
+            f"{n_ray_shards}) mesh with scenes sharded over {scene_rows} "
+            f"rows"
+        )
+        mesh = make_scene_mesh(scene_rows, n_ray_shards)
+    else:
+        mesh = make_scene_mesh(
+            min(n_scene, max(1, n_dev // max(1, n_ray_shards))),
+            n_ray_shards,
+        )
     expdir = setup_expdir(cfg)
 
     scenes, states, pools, pool_ids, names = [], [], [], [], []

@@ -74,3 +74,53 @@ def test_comments_and_blank_lines():
         assert parse_config_file(name) == {"N_samples": "16"}
     finally:
         os.unlink(name)
+
+
+def test_flag_contract_is_total():
+    """Every accepted config field is accounted for: functional, rejected
+    loudly, vestigial-warned, or documented-neutral — no silent ignores
+    (VERDICT missing-5)."""
+    from pronerf_tpu.config import VESTIGIAL_FLAGS, Config
+
+    FUNCTIONAL = {
+        "config", "expname", "basedir", "datadir",
+        "netdepth", "netwidth", "netskips",
+        "mmnetdepth", "mmnetwidth", "mmnetskips",
+        "a_mmrgb", "N_rand", "lrate", "weight_decay", "lrate_decay",
+        "no_reload", "ft_path", "pretrain_path",
+        "num_neighbor", "N_samples", "N_point_ray_enc",
+        "multires", "multires_views", "raw_noise_std",
+        "render_test", "render_factor", "dataset_type", "white_bkgd",
+        "factor", "spherify", "llffhold",
+        "i_print", "i_img", "i_weights", "i_testset", "i_video",
+        "max_steps", "use_trt", "max_images",
+        # TPU-native extensions
+        "netarch", "use_pallas", "scan_steps", "warp_interp",
+        "compute_dtype", "tile_rays", "seed",
+    }
+    REJECTED = {"no_ndc", "no_batching", "full_image", "epi_nerf",
+                "i_embed", "render_only"}
+    NEUTRAL = {"chunk", "netchunk"}  # memory knobs; shapes are jit-static
+    covered = FUNCTIONAL | REJECTED | NEUTRAL | set(VESTIGIAL_FLAGS)
+    fields = set(Config.field_names())
+    assert fields - covered == set(), f"unaccounted flags: {fields - covered}"
+    assert covered - fields == set(), f"stale contract entries: {covered - fields}"
+
+
+def test_flag_contract_warns_and_rejects(capsys):
+    from pronerf_tpu.config import Config, enforce_flag_contract
+
+    cfg = Config.from_file("configs/llff/fern/fern_epi.txt")
+    notes = enforce_flag_contract(cfg)
+    out = capsys.readouterr().out
+    # fern_epi sets k_ref=0, rand_crop_size=128, a_mmdisp=1.0,
+    # use_viewdirs=True -- all vestigial, all must be called out
+    for flag in ("k_ref", "rand_crop_size", "a_mmdisp", "use_viewdirs"):
+        assert any(flag in n for n in notes), flag
+        assert flag in out
+
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError, match="i_embed"):
+        enforce_flag_contract(Config(i_embed=-1))
+    with _pytest.raises(NotImplementedError, match="render-path"):
+        enforce_flag_contract(Config(render_only=True))

@@ -600,3 +600,280 @@ def test_img2ssim_matches_reference(ref):
     theirs = ref.helpers.img2ssim(a, b)
     ours = img2ssim(a, b)
     np.testing.assert_allclose(ours, theirs, atol=1e-8)
+
+
+def _stage1_ref_kwargs(ref, base, nerf_t, sampler_t, refine_t, sc, K, n, V):
+    embed_fn, _ = ref.helpers.get_embedder(10, 0)
+    embeddirs_fn, _ = ref.helpers.get_embedder(4, 0)
+
+    def network_query_fn(inputs, viewdirs, fn):
+        return base.run_network(
+            inputs, viewdirs, fn, embed_fn, embeddirs_fn, netchunk=65536
+        )
+
+    return dict(
+        network_fn=nerf_t,
+        network_query_fn=network_query_fn,
+        N_samples=8,
+        raw_noise_std=0.0,
+        min_max_ray_net=sampler_t,
+        refine_net=refine_t,
+        N_point_ray_enc=48,
+        embed_fn=embed_fn,
+        embeddirs_fn=embeddirs_fn,
+        embed_rays=ref.helpers.Pluecker(),
+        num_neighbor=V,
+        images=_t(sc["images"][:4]),
+        poses=_t(sc["poses"][:4]),
+        ref_K=_t(K),
+        target_pose=_t(sc["poses"][4]),
+    )
+
+
+def _ray_batches(rays, n, near, far):
+    ray_batch = torch.cat(
+        [
+            _t(rays["ndc_o"]), _t(rays["ndc_d"]),
+            torch.full((n, 1), near), torch.full((n, 1), far),
+            _t(rays["viewdirs"]),
+        ],
+        -1,
+    )
+    or_ray_batch = torch.cat(
+        [
+            _t(rays["or_o"]), _t(rays["or_d"]),
+            torch.full((n, 1), 1.0), torch.full((n, 1), 10.0),
+            _t(rays["viewdirs"]),
+        ],
+        -1,
+    )
+    return ray_batch, or_ray_batch
+
+
+@pytest.mark.parametrize(
+    "n_mult,dir_expand,dir_jitter",
+    [(3, True, False), (3, False, True), (1, False, True), (8, True, True)],
+)
+def test_stage1_exploration_matches_reference_with_matched_noise(
+    ref, monkeypatch, n_mult, dir_expand, dir_jitter
+):
+    """ORACLE for the stage-1 stochastic NeRF-branch (sample multiplication
+    + one-sided gap jitter, ``run_S_eS_eN_alter_base.py:689-729``): inject
+    IDENTICAL noise draws into both implementations (the reference's
+    ``pytest=True`` seeded-numpy idiom, SURVEY §4.2) and require equal
+    outputs. Covers n_mult in {1, 3, max}, both expansion directions, both
+    jitter directions."""
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from pronerf_tpu.models import RenderStatics, init_pronerf_params, render_rays
+    from pronerf_tpu.render.raygen import prepare_scene, rays_for_pose
+    from pronerf_tpu.utils.synthetic import make_consistent_scene
+
+    base = importlib.import_module("run_S_eS_eN_alter_base")
+    sc = make_consistent_scene(n_views=5, H=20, W=26, seed=6)
+    H, W, _ = sc["hwf"]
+    K = sc["K"]
+    V, n = 2, 48
+
+    params = init_pronerf_params(jax.random.PRNGKey(3), num_neighbor=V)
+    nerf_t = _load_nerf_into_torch(ref, params["nerf"])
+    sampler_t = _load_minmax_into_torch(ref, params["sampler"], 288, 27)
+    refine_t = _load_minmax_into_torch(
+        ref, params["refine"], 6 * 8 + 3 * V * 8, 35
+    )
+
+    # one shared raw-normal noise panel, sliced by each side as needed
+    noise_np = np.random.default_rng(42).normal(size=(n, 64)).astype(np.float32)
+
+    # --- ours: controls carry the coins; only the normal draw is patched
+    scene = prepare_scene(
+        sc["images"][:4], sc["poses"][:4], K, pack_corners=False
+    )
+    rays = rays_for_pose(H, W, K, sc["poses"][4])
+    rays = {k: v[:n] for k, v in rays.items()}
+    rays["pose_id"] = jnp.zeros((n,), jnp.int32)
+    controls = {
+        "rng": jax.random.PRNGKey(0),
+        "n_mult": jnp.int32(n_mult),
+        "dir_expand": jnp.asarray(dir_expand),
+        "dir_jitter": jnp.asarray(dir_jitter),
+        # neighbor positions 0..V-1 of the sorted-by-distance candidates ==
+        # the nearest V: lets the reference's random.sample be patched to
+        # the same choice below
+        "neighbor_subset": jnp.asarray(list(range(V)), jnp.int32),
+        "target_t": jnp.asarray(sc["poses"][4][:3, 3]),
+    }
+
+    def fake_jax_normal(key, shape, dtype=jnp.float32):
+        return jnp.asarray(noise_np[: shape[0], : shape[1]], dtype)
+
+    monkeypatch.setattr(jax.random, "normal", fake_jax_normal)
+    statics = RenderStatics.stage1_nerf(
+        randomize=True, noise_std=0.0, num_neighbor=V
+    )
+    # rays originate from the held-out pose 4; randomize=True selects
+    # neighbors w.r.t. pose_id 0 -> give the rays that pose's id semantics
+    # by aligning target: use pose_id of view 0 and compare against the
+    # reference fed batch_rays_nearest_id = zeros (same convention).
+    ours = render_rays(params, rays, scene, controls, statics)
+
+    # --- theirs: patch the host RNG + torch.normal to the same draws
+    import random as pyrandom
+
+    monkeypatch.setattr(pyrandom, "randint", lambda a, b: n_mult)
+    coins = []
+    if n_mult > 1:
+        coins.append(0.6 if dir_expand else 0.4)   # > 0.5 -> up
+    coins.append(0.6 if dir_jitter else 0.4)
+    coin_iter = iter(coins)
+    monkeypatch.setattr(pyrandom, "random", lambda: next(coin_iter))
+    monkeypatch.setattr(
+        pyrandom, "sample",
+        lambda rng_, k: list(range(k)),
+    )
+
+    real_normal = torch.normal
+
+    def fake_torch_normal(*args, size=None, **kw):
+        if size is None:
+            return real_normal(*args, **kw)
+        return torch.from_numpy(noise_np[: size[0], : size[1]].copy())
+
+    monkeypatch.setattr(torch, "normal", fake_torch_normal)
+
+    ray_batch, or_ray_batch = _ray_batches(rays, n, 1e-6, 1.0)
+    with torch.no_grad():
+        theirs = base.render_rays(
+            ray_batch, or_ray_batch,
+            randomize=True,
+            train_sampler=False,
+            train_nerf=True,
+            batch_rays_nearest_id=torch.zeros(n, V + 1),
+            **_stage1_ref_kwargs(
+                ref, base, nerf_t, sampler_t, refine_t, sc, K, n, V
+            ),
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(ours["rgb1"]), theirs["rgb_map1"].numpy(), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["depth"]), theirs["depth_map"].numpy(), atol=2e-3
+    )
+
+
+def test_stage2_jitter_matches_reference_with_matched_noise(ref, monkeypatch):
+    """ORACLE for the stage-2 training jitter
+    (``run_S_eS_eN_alter_base_refine2.py:646-664``): identical injected
+    normal draws and direction coin on both sides."""
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from pronerf_tpu.models import RenderStatics, init_pronerf_params, render_rays
+    from pronerf_tpu.render.raygen import prepare_scene, rays_for_pose
+    from pronerf_tpu.utils.synthetic import make_consistent_scene
+
+    s2 = importlib.import_module("run_S_eS_eN_alter_base_refine2")
+    sc = make_consistent_scene(n_views=5, H=20, W=26, seed=6)
+    H, W, _ = sc["hwf"]
+    K = sc["K"]
+    V, n = 2, 48
+
+    params = init_pronerf_params(jax.random.PRNGKey(5), num_neighbor=V)
+    nerf_t = _load_nerf_into_torch(ref, params["nerf"])
+    sampler_t = _load_minmax_into_torch(ref, params["sampler"], 288, 27)
+    refine_t = _load_minmax_into_torch(
+        ref, params["refine"], 6 * 8 + 3 * V * 8, 35
+    )
+
+    noise_np = np.random.default_rng(7).normal(size=(n, 8)).astype(np.float32)
+
+    scene = prepare_scene(
+        sc["images"][:4], sc["poses"][:4], K, pack_corners=False
+    )
+    rays = rays_for_pose(H, W, K, sc["poses"][4])
+    rays = {k: v[:n] for k, v in rays.items()}
+    rays["pose_id"] = jnp.zeros((n,), jnp.int32)
+    for dir_jitter in (True, False):
+        controls = {
+            "rng": jax.random.PRNGKey(0),
+            "dir_jitter": jnp.asarray(dir_jitter),
+            "neighbor_subset": jnp.asarray(list(range(V)), jnp.int32),
+            "target_t": jnp.asarray(sc["poses"][4][:3, 3]),
+        }
+
+        monkeypatch.setattr(
+            jax.random, "normal",
+            lambda key, shape, dtype=jnp.float32: jnp.asarray(
+                noise_np[: shape[0], : shape[1]], dtype
+            ),
+        )
+        ours = render_rays(
+            params, rays, scene, controls,
+            RenderStatics.stage2(randomize=True, noise_std=0.0,
+                                 num_neighbor=V),
+        )
+
+        import random as pyrandom
+
+        monkeypatch.setattr(
+            pyrandom, "random", lambda: 0.6 if dir_jitter else 0.4
+        )
+        monkeypatch.setattr(
+            pyrandom, "sample", lambda rng_, k: list(range(k))
+        )
+        real_normal = torch.normal
+
+        def fake_torch_normal(*args, size=None, **kw):
+            if size is None:
+                return real_normal(*args, **kw)
+            return torch.from_numpy(noise_np[: size[0], : size[1]].copy())
+
+        monkeypatch.setattr(torch, "normal", fake_torch_normal)
+
+        embed_fn, _ = ref.helpers.get_embedder(10, 0)
+        embeddirs_fn, _ = ref.helpers.get_embedder(4, 0)
+
+        def network_query_fn(inputs, viewdirs, fn):
+            return s2.run_network(
+                inputs, viewdirs, fn, embed_fn, embeddirs_fn, netchunk=65536
+            )
+
+        ray_batch, or_ray_batch = _ray_batches(rays, n, 0.0, 1.0)
+        with torch.no_grad():
+            theirs = s2.render_rays(
+                ray_batch, or_ray_batch,
+                network_fn=nerf_t,
+                network_fine=nerf_t,
+                network_query_fn=network_query_fn,
+                N_samples=8,
+                raw_noise_std=0.0,
+                min_max_ray_net=sampler_t,
+                refine_net=refine_t,
+                N_point_ray_enc=48,
+                embed_fn=embed_fn,
+                embeddirs_fn=embeddirs_fn,
+                embed_rays=ref.helpers.Pluecker(),
+                num_neighbor=V,
+                images=_t(sc["images"][:4]),
+                poses=_t(sc["poses"][:4]),
+                ref_K=_t(K),
+                target_pose=_t(sc["poses"][4]),
+                randomize=True,
+                train_nerf=True,
+                batch_rays_nearest_id=torch.zeros(n, V + 1),
+            )
+
+        np.testing.assert_allclose(
+            np.asarray(ours["rgb1"]), theirs["rgb_map1"].numpy(), atol=2e-3,
+            err_msg=f"dir_jitter={dir_jitter}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours["depth"]), theirs["depth_map"].numpy(), atol=2e-3,
+            err_msg=f"dir_jitter={dir_jitter}",
+        )

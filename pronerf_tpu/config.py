@@ -97,7 +97,8 @@ class Config:
     scan_steps: int = 1                  # train steps fused per dispatch
     warp_interp: str = "bilinear"        # 'bilinear' (parity) | 'nearest'
     compute_dtype: Optional[str] = None  # 'bfloat16' inference fast path
-    tile_rays: int = 8192                # full-frame render tile size
+    tile_rays: int = 8192                # render tile size; 0 = whole-frame
+                                         # single dispatch (serving config)
     seed: int = 0
 
     @classmethod

@@ -60,9 +60,6 @@ def _split_pe_rows(w, L: int):
     return wx, w[jnp.asarray(sin_rows)], w[jnp.asarray(cos_rows)]
 
 
-W_AF = 384     # combined [feature(256) | alpha(1) | pad] head width
-
-
 def pack_nerf_params(nerf_params, dtype=jnp.bfloat16):
     """Split/reorder the NeRF param pytree into kernel panels.
 
@@ -83,14 +80,6 @@ def pack_nerf_params(nerf_params, dtype=jnp.bfloat16):
     wv = jnp.asarray(p["views"]["w"])   # [256 + 27, 128]: [feature | d_pe]
     wvx, wvs, wvc = _split_pe_rows(wv[W:], L_DIR)
 
-    # one MXU pass for feature + sigma: cols [0:256) feature, col 256 sigma
-    w_af = jnp.zeros((W, W_AF), jnp.float32)
-    w_af = w_af.at[:, :W].set(jnp.asarray(p["feature"]["w"]))
-    w_af = w_af.at[:, W : W + 1].set(jnp.asarray(p["alpha"]["w"]))
-    b_af = jnp.zeros((W_AF,), jnp.float32)
-    b_af = b_af.at[:W].set(jnp.asarray(p["feature"]["b"]))
-    b_af = b_af.at[W].set(jnp.asarray(p["alpha"]["b"]).reshape(()))
-
     packed = {
         "bx": _freq_matrix(L_PTS, dtype),
         "bd": _freq_matrix(L_DIR, dtype),
@@ -102,8 +91,14 @@ def pack_nerf_params(nerf_params, dtype=jnp.bfloat16):
         "wvf": cast(wv[:W]),
         "wvx": cast(wvx), "wvs": cast(wvs), "wvc": cast(wvc),
         "bv": bias(p["views"]["b"]),
-        "w_af": cast(w_af),
-        "b_af": bias(b_af),
+        "w_alpha": cast(
+            jnp.zeros((W, W_HALF)).at[:, :1].set(jnp.asarray(p["alpha"]["w"]))
+        ),
+        "b_alpha": bias(
+            jnp.zeros((W_HALF,)).at[:1].set(jnp.asarray(p["alpha"]["b"]))
+        ),
+        "w_feat": cast(p["feature"]["w"]),
+        "b_feat": bias(p["feature"]["b"]),
         "w_rgb": cast(
             jnp.zeros((W_HALF, W_HALF)).at[:, :3].set(jnp.asarray(p["rgb"]["w"]))
         ),
@@ -123,21 +118,21 @@ _WEIGHT_ORDER = (
     "w1", "b1", "w2", "b2", "w3", "b3", "w4", "b4",
     "w5x", "w5s", "w5c", "w5h", "b5",
     "w6", "b6", "w7", "b7",
-    "w_af", "b_af",
+    "w_alpha", "b_alpha", "w_feat", "b_feat",
     "wvf", "wvx", "wvs", "wvc", "bv",
     "w_rgb", "b_rgb",
 )
 
 
 def _dot(x, w):
-    """MXU matmul: f32 accumulation, result rounded to the compute dtype
-    (so inter-layer activations stay bf16 on the serving path — one
-    rounding per layer, same as the plain bf16 XLA path)."""
+    """MXU matmul: f32 accumulation (Mosaic requires a 32-bit acc), result
+    rounded to the compute dtype — so inter-layer activations stay bf16 on
+    the serving path (halved VMEM/VPU traffic), one rounding per dot."""
     return jax.lax.dot_general(
         x.astype(w.dtype), w,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=w.dtype,
-    )
+        preferred_element_type=jnp.float32,
+    ).astype(w.dtype)
 
 
 def _kernel(pts_ref, dirs_ref, z_ref, dnorm_ref, add_ref, mul_ref, *refs):
@@ -146,7 +141,7 @@ def _kernel(pts_ref, dirs_ref, z_ref, dnorm_ref, add_ref, mul_ref, *refs):
      w1, b1, w2, b2, w3, b3, w4, b4,
      w5x, w5s, w5c, w5h, b5,
      w6, b6, w7, b7,
-     w_af, b_af,
+     w_alpha, b_alpha, w_feat, b_feat,
      wvf, wvx, wvs, wvc, bv,
      w_rgb, b_rgb,
      out_ref) = refs
@@ -175,9 +170,12 @@ def _kernel(pts_ref, dirs_ref, z_ref, dnorm_ref, add_ref, mul_ref, *refs):
     h = jnp.maximum(_dot(h, w6[:]) + b6[:], 0.0)
     h = jnp.maximum(_dot(h, w7[:]) + b7[:], 0.0)
 
-    af = _dot(h, w_af[:]) + b_af[:]                 # [P, 384]
-    sigma = af[:, W].astype(jnp.float32).reshape(R, S)
-    feat = af[:, :W]                                # [P, 256]
+    sigma = (
+        (_dot(h, w_alpha[:]) + b_alpha[:])[:, 0]
+        .astype(jnp.float32)
+        .reshape(R, S)
+    )
+    feat = _dot(h, w_feat[:]) + b_feat[:]           # [P, 256]
 
     d = dirs_ref[:].astype(cdt)                     # [R, 3]
     db = _dot(d, bd[:]).astype(jnp.float32)         # [R, 12]
@@ -188,9 +186,9 @@ def _kernel(pts_ref, dirs_ref, z_ref, dnorm_ref, add_ref, mul_ref, *refs):
         vcon[:, None, :], (R, S, W_HALF)
     ).reshape(P, W_HALF)
     hv = jnp.maximum(_dot(feat, wvf[:]) + vcon_p + bv[:], 0.0)
-    rgb_logits = (_dot(hv, w_rgb[:]))[:, :3].astype(jnp.float32) + b_rgb[
-        :
-    ][:, :3].astype(jnp.float32)
+    rgb_logits = (
+        (_dot(hv, w_rgb[:]) + b_rgb[:])[:, :3].astype(jnp.float32)
+    )
 
     # ---- compositing (inference semantics) ----
     z = z_ref[:]
@@ -227,7 +225,7 @@ def fused_nerf_composite(
     dnorm,
     mm_add,
     mm_mul,
-    block_rays: int = 512,
+    block_rays: int = 384,
     interpret: bool = False,
 ):
     """Fused PE -> NeRF MLP -> composite.

@@ -82,6 +82,9 @@ class RenderStatics:
     offset_scale: float = 1e-2
     compute_dtype: Optional[str] = None  # 'bfloat16' for the inference path
     use_pallas: bool = False  # fused PE->NeRF->composite kernel (inference)
+    pallas_block_rays: int = 384  # rays per fused-kernel grid step; 512+
+                                  # crashes the Mosaic compiler (2026-08 TPU
+                                  # v5e toolchain) — keep <= 384
     netarch: str = "nerf"     # radiance-field family: 'nerf' | 'donerf'
 
     # -- factories reproducing the reference's behavior matrix ------------
@@ -360,6 +363,7 @@ def render_rays(params, rays, scene, controls, statics: RenderStatics):
         fused = fused_nerf_composite(
             packed, query_pts, rays["viewdirs"], z_vals, dnorm,
             mm_add, mm_mul,
+            block_rays=statics.pallas_block_rays,
             interpret=jax.default_backend() != "tpu",
         )
         acc = fused["acc"]

@@ -53,8 +53,15 @@ def make_frame_renderer(
     ``lax.map`` — measured ~11 ms/frame faster at fern scale (no per-
     iteration loop machinery, XLA schedules across tiles) at the price of
     a longer compile; right for serving, wrong for quick eval renders.
+
+    ``tile_rays=0`` (or >= H*W) selects the SERVING configuration: the whole
+    frame as one tile in a single dispatch — measured another ~6 ms/frame
+    faster than 16k tiles at fern scale (504x378). This is what ``bench.py``
+    times and what ``--tile_rays 0`` selects from the CLI.
     """
     K = np.asarray(K)
+    if not tile_rays or tile_rays >= H * W:
+        tile_rays, unroll = H * W, True
 
     def render_frame(params, scene, c2w):
         if statics.use_pallas and "nerf_packed" not in params:

@@ -1,5 +1,3 @@
-import struct
-
 import numpy as np
 import pytest
 
@@ -14,59 +12,12 @@ from pronerf_tpu.data import (
 )
 
 
-def _write_llff_dataset(root, n=6, H=24, W=32, focal=30.0):
-    """Write a minimal on-disk LLFF dataset (poses_bounds.npy + images/)."""
-    from PIL import Image
-
-    rng = np.random.default_rng(0)
-    (root / "images").mkdir(parents=True)
-    rows = []
-    for i in range(n):
-        # c2w with identity-ish rotation; store with LLFF's [down, right,
-        # back] column convention (inverse of the loader's [-y, x, z] remap).
-        c2w = np.concatenate(
-            [np.eye(3), np.array([[0.1 * i], [0.05 * i], [0.0]])], 1
-        )
-        stored = np.concatenate(
-            [-c2w[:, 1:2], c2w[:, 0:1], c2w[:, 2:]], 1
-        )  # invert row remap
-        m = np.concatenate([stored, np.array([[H], [W], [focal]])], 1)
-        rows.append(np.concatenate([m.flatten(), [1.0, 10.0]]))
-        img = (rng.uniform(0, 255, size=(H, W, 3))).astype(np.uint8)
-        Image.fromarray(img).save(root / "images" / f"img_{i:03d}.png")
-    np.save(root / "poses_bounds.npy", np.stack(rows))
-
-
-def _write_colmap_model(root, n_images=6, n_points=40):
-    """Write minimal images.bin / points3D.bin (inverse of our readers)."""
-    sparse = root / "sparse/0"
-    sparse.mkdir(parents=True)
-    rng = np.random.default_rng(1)
-    with open(sparse / "images.bin", "wb") as fh:
-        fh.write(struct.pack("<Q", n_images))
-        for i in range(n_images):
-            fh.write(struct.pack("<i", i + 1))
-            fh.write(struct.pack("<4d", 1, 0, 0, 0))
-            fh.write(struct.pack("<3d", 0, 0, 0))
-            fh.write(struct.pack("<i", 1))
-            fh.write(f"img_{i:03d}.png".encode() + b"\x00")
-            fh.write(struct.pack("<Q", 0))
-    # view v sees points [0 .. 5*(v+1)) -> later views see more
-    tracks = {p: [] for p in range(n_points)}
-    for v in range(n_images):
-        for p in range(min(5 * (v + 1), n_points)):
-            tracks[p].append(v + 1)
-    with open(sparse / "points3D.bin", "wb") as fh:
-        fh.write(struct.pack("<Q", n_points))
-        for p in range(n_points):
-            fh.write(struct.pack("<Q", p + 1))
-            fh.write(struct.pack("<3d", *rng.normal(size=3)))
-            fh.write(struct.pack("<3B", 128, 128, 128))
-            fh.write(struct.pack("<d", 0.5))
-            ims = tracks[p]
-            fh.write(struct.pack("<Q", len(ims)))
-            for im in ims:
-                fh.write(struct.pack("<2i", im, 0))
+# Fixture builders live in the package so scripts/verify_fern.py can run
+# the same CI-style protocol; keep the old names for test imports.
+from pronerf_tpu.utils.fixtures import (  # noqa: E402
+    write_colmap_model as _write_colmap_model,
+    write_llff_dataset as _write_llff_dataset,
+)
 
 
 def test_load_llff_data(tmp_path):

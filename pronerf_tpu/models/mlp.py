@@ -92,8 +92,63 @@ def init_nerf_mlp(
     }
 
 
+def _nerf_apply_serving(params, x_pe, d_pe, skips, cdt):
+    """bf16 serving forward — same math as ``nerf_mlp_apply`` with two
+    graph-level rewrites that cut HBM traffic at frame scale (measured on
+    the whole-frame 504x378 graph):
+
+    - skip concatenations become split dots: a layer consuming [x | h]
+      runs ``x @ w[:C] + h @ w[C:]`` instead of materializing the [P, C+W]
+      concat;
+    - a per-ray ``d_pe`` ([N, Cd] against x_pe [N, S, Cx]) drives the view
+      branch once per ray and broadcasts over samples — an S-fold saving
+      on the direction half of the view matmul and no [P, 256+Cd] concat
+      (the reference tiles viewdirs per point, ``run_nerf_helpers.py``
+      embedded-dirs path).
+    """
+
+    def dot(a, w):
+        return jax.lax.dot_general(
+            a, w.astype(cdt),
+            dimension_numbers=(((a.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(cdt)
+
+    def bias(p):
+        return p["b"].astype(cdt)
+
+    x = x_pe.astype(cdt)
+    C = x.shape[-1]
+    h = x
+    for i, layer in enumerate(params["pts"]):
+        if i - 1 in skips:
+            w = layer["w"]
+            h = dot(x, w[:C]) + dot(h, w[C:]) + bias(layer)
+        else:
+            h = dot(h, layer["w"]) + bias(layer)
+        h = jax.nn.relu(h)
+    alpha = dot(h, params["alpha"]["w"]) + bias(params["alpha"])
+    feature = dot(h, params["feature"]["w"]) + bias(params["feature"])
+    wv = params["views"]["w"]
+    W_ = feature.shape[-1]
+    d = d_pe.astype(cdt)
+    hd = dot(d, wv[W_:])
+    if d.ndim == x.ndim - 1:
+        hd = hd[..., None, :]
+    hv = jax.nn.relu(dot(feature, wv[:W_]) + hd + bias(params["views"]))
+    rgb = dot(hv, params["rgb"]["w"]) + bias(params["rgb"])
+    return jnp.concatenate([rgb, alpha], axis=-1).astype(x_pe.dtype)
+
+
 def nerf_mlp_apply(params, x_pe, d_pe, skips: Sequence[int] = (4,), compute_dtype=None):
-    """Radiance field forward: [..., 63], [..., 27] -> [..., 4] (rgb logits, sigma)."""
+    """Radiance field forward: [..., 63], [..., 27] -> [..., 4] (rgb logits, sigma).
+
+    ``d_pe`` may be per-point ([..., S, Cd], matching x_pe) or — on the
+    compute_dtype fast path — per-ray ([..., Cd], one rank lower), in which
+    case the view-branch direction term is computed once per ray.
+    """
+    if compute_dtype is not None:
+        return _nerf_apply_serving(params, x_pe, d_pe, skips, compute_dtype)
     x_in = x_pe if compute_dtype is None else x_pe.astype(compute_dtype)
     h = x_in
     for i, layer in enumerate(params["pts"]):
@@ -128,6 +183,48 @@ def init_minmax_mlp(
         layers.append(init_linear(keys[i], in_dim, W, dtype))
         in_dim = W + input_ch if i in skips else W
     return {"layers": layers, "out": init_linear(keys[D], W, output_ch, dtype)}
+
+
+def minmax_mlp_apply_folded(
+    params, x_rep, reps: int, x_rest, compute_dtype, skips: Sequence[int] = ()
+):
+    """Serving-path MinMax forward whose input is ``[tile(x_rep, reps) |
+    x_rest]`` WITHOUT materializing the tiling: the first layer's rows for
+    the repeated block are pre-summed (``tile(v, k) @ w == v @ sum_k
+    w_block`` in exact arithmetic), so the [N, reps*C] input never exists.
+
+    Used because the ProNeRF Pluecker ray signature is constant along a ray
+    (m = p x d_hat is invariant under p -> p + t d), making the reference's
+    48-point (sampler) / 8-point (refine) encodings exact tilings
+    (``run_nerf_helpers.py:613-632`` composed with collinear samples).
+
+    Args:
+      x_rep: [N, C] the repeated block (one Pluecker signature per ray).
+      reps: tile count (48 sampler, 8 refine).
+      x_rest: [N, R] trailing non-repeated features (refine's warped
+        colors), or None.
+    """
+    assert not skips, "folded path supports the release no-skip nets"
+    cdt = compute_dtype
+    w0 = params["layers"][0]["w"]
+    C = x_rep.shape[-1]
+    w_rep = w0[: reps * C].reshape(reps, C, -1).sum(0)
+
+    def dot(a, w):
+        return jax.lax.dot_general(
+            a.astype(cdt), w.astype(cdt),
+            dimension_numbers=(((a.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(cdt)
+
+    h = dot(x_rep, w_rep)
+    if x_rest is not None:
+        h = h + dot(x_rest, w0[reps * C:])
+    h = jax.nn.elu(h + params["layers"][0]["b"].astype(cdt))
+    for layer in params["layers"][1:]:
+        h = jax.nn.elu(dot(h, layer["w"]) + layer["b"].astype(cdt))
+    out = dot(h, params["out"]["w"]) + params["out"]["b"].astype(cdt)
+    return out.astype(x_rep.dtype)
 
 
 def minmax_mlp_apply(params, x, skips: Sequence[int] = (), compute_dtype=None):

@@ -31,6 +31,7 @@ from pronerf_tpu.models.mlp import (
     init_minmax_mlp,
     init_nerf_mlp,
     minmax_mlp_apply,
+    minmax_mlp_apply_folded,
     nerf_mlp_apply,
 )
 from pronerf_tpu.ops.composite import composite
@@ -259,12 +260,28 @@ def render_rays(params, rays, scene, controls, statics: RenderStatics):
     n_rays = ndc_o.shape[0]
 
     # 1. Sampler: Pluecker signature of 48 fixed NDC points.
-    sig_depths = linspace_depths(0.0, 1.0, statics.N_point_ray_enc, ndc_o.dtype)
-    sig_pts = ray_points(ndc_o, ndc_d, jnp.broadcast_to(sig_depths, (n_rays, statics.N_point_ray_enc)))
-    sampler_in = plucker(sig_pts, ndc_d[:, None, :]).reshape(n_rays, -1)
-    mm_out = minmax_mlp_apply(
-        params["sampler"], sampler_in, statics.mmnetskips, cdt
-    )
+    # The Pluecker moment m = p x d_hat is invariant along the ray
+    # (p = o + t d), so the 48-point signature is 48 copies of one
+    # [d_hat, m] 6-vector; the serving path folds the tiling into the
+    # first-layer weights instead of materializing [N, 288].
+    fold_mm = cdt is not None and not statics.mmnetskips
+    if fold_mm:
+        sig = plucker(ndc_o, ndc_d)  # [N, 6]
+        mm_out = minmax_mlp_apply_folded(
+            params["sampler"], sig, statics.N_point_ray_enc, None, cdt
+        )
+    else:
+        sig_depths = linspace_depths(
+            0.0, 1.0, statics.N_point_ray_enc, ndc_o.dtype
+        )
+        sig_pts = ray_points(
+            ndc_o, ndc_d,
+            jnp.broadcast_to(sig_depths, (n_rays, statics.N_point_ray_enc)),
+        )
+        sampler_in = plucker(sig_pts, ndc_d[:, None, :]).reshape(n_rays, -1)
+        mm_out = minmax_mlp_apply(
+            params["sampler"], sampler_in, statics.mmnetskips, cdt
+        )
     if statics.stop_sampler_grad:
         mm_out = jax.lax.stop_gradient(mm_out)
     mm_rgb = jax.nn.sigmoid(mm_out[:, 3 * S:])
@@ -300,15 +317,22 @@ def render_rays(params, rays, scene, controls, statics: RenderStatics):
     else:
         epi_flat = colors.reshape(n_rays, -1)  # [N, V*S*3]
 
-    # 4. Refine net on [Pluecker(candidates) || warped colors].
-    epi_pts = ray_points(ndc_o, ndc_d, depth_values)
-    plk = plucker(epi_pts, ndc_d[:, None, :]).reshape(n_rays, -1)
-    refine_out = minmax_mlp_apply(
-        params["refine"],
-        jnp.concatenate([plk, epi_flat], axis=-1),
-        statics.mmnetskips,
-        cdt,
-    )
+    # 4. Refine net on [Pluecker(candidates) || warped colors]. Same
+    # collinearity fold as the sampler: the 8 candidate points share one
+    # Pluecker signature.
+    if fold_mm:
+        refine_out = minmax_mlp_apply_folded(
+            params["refine"], sig, S, epi_flat, cdt
+        )
+    else:
+        epi_pts = ray_points(ndc_o, ndc_d, depth_values)
+        plk = plucker(epi_pts, ndc_d[:, None, :]).reshape(n_rays, -1)
+        refine_out = minmax_mlp_apply(
+            params["refine"],
+            jnp.concatenate([plk, epi_flat], axis=-1),
+            statics.mmnetskips,
+            cdt,
+        )
     if statics.stop_sampler_grad:
         refine_out = jax.lax.stop_gradient(refine_out)
     refine_sig = jax.nn.sigmoid(refine_out[:, :S])
@@ -382,9 +406,12 @@ def render_rays(params, rays, scene, controls, statics: RenderStatics):
     # 6. NeRF MLP + compositing.
     x_pe = positional_encoding(query_pts, statics.multires)
     d_pe = positional_encoding(rays["viewdirs"], statics.multires_views)
-    d_pe = jnp.broadcast_to(
-        d_pe[:, None, :], (n_rays, z_vals.shape[-1], d_pe.shape[-1])
-    )
+    if cdt is None or statics.netarch == "donerf":
+        # Parity path (and donerf) broadcasts dirs per point; the serving
+        # path hands nerf_mlp_apply the per-ray encoding directly.
+        d_pe = jnp.broadcast_to(
+            d_pe[:, None, :], (n_rays, z_vals.shape[-1], d_pe.shape[-1])
+        )
     if statics.netarch == "donerf":
         from pronerf_tpu.models.donerf import donerf_apply
 

@@ -1,23 +1,30 @@
-"""Pallas TPU kernel fusing the inference hot path: positional encoding ->
-NeRF MLP (8x256, skip@4, view branch) -> alpha compositing.
+"""Pallas TPU kernel for the inference hot path: positional encoding ->
+NeRF MLP (8x256, skip@4, view branch) -> raw [N, S, 4] radiance outputs.
 
 Why a kernel: under plain XLA each MLP layer's [P, 256] activation round-
-trips through HBM (~16 ms/frame at fern scale vs ~4 ms of MXU time); here
-the chain runs per ray-block with weights and activations resident in VMEM.
+trips through HBM (1.5M points x 256 x bf16 x read+write ~ 1.9 ms/layer at
+fern scale — the stage is bandwidth-bound at ~21 ms/frame); here the chain
+runs per ray-block with weights and activations resident in VMEM (measured
+13.8 ms for the pure matmul chain at the same shapes, 64% MFU).
 
-Kernel-shaping decisions (all matter on the VPU/MXU):
+Kernel-shaping decisions (all measured on TPU v5e):
 - the positional encoding is FORMULATED AS MATMULS: xb = x @ B (B holds the
   2^k frequency pattern), then sin/cos on [P, 30] panels, and the first /
-  skip / view layers consume (x, sin xb, cos xb) through row-split weight
-  panels — no lane-dim-3 concatenation chains (those made an earlier
-  version compile for minutes and run slower than XLA);
-- the view-direction contribution is computed per RAY ([R, 128]) and
-  broadcast to samples, an S-fold saving over encoding per point;
-- matmuls run in bf16 with f32 MXU accumulation; compositing math is f32.
+  skip layers consume (x, sin xb, cos xb) through row-split weight panels;
+- compositing and the view-direction ENCODING live OUTSIDE the kernel:
+  the in-kernel [R, 1]-wide transmittance/concat chain of the v1 kernel
+  cost ~10 ms of lane-sliver VPU work (23.5 ms v1 vs 13.8 ms chain); the
+  caller passes the per-ray view contribution vcon = d_pe @ w_views[256:]
+  ([N, 128], tiny in XLA) and feeds the raw output to the tested
+  ``ops.composite``;
+- matmuls run in bf16 with f32 MXU accumulation (Mosaic requires 32-bit
+  accumulators), rounded to the pack dtype per dot;
+- block sizes >= 512 rays (and 384-ray blocks at ~500-step grids) crash
+  the Mosaic compiler (2026-08 v5e toolchain) — default 256 rays/block.
 
-Numerical semantics mirror ``ops.composite`` in inference mode: density
-corrections always applied, no clamp, no noise
-(``run_S_eS_eN_alter_trt.py:564-597``).
+Numerical semantics mirror ``models.mlp.nerf_mlp_apply`` with a per-ray
+d_pe; the reference runs this net as its TRT FP16 NeRF engine
+(``trt_infer_v2.py:248-295``).
 """
 
 from __future__ import annotations
@@ -30,12 +37,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-S = 8          # samples per ray
 L_PTS = 10     # position octaves: PE = [x(3), sin(30), cos(30)]
 L_DIR = 4      # direction octaves: PE = [d(3), sin(12), cos(12)]
 W = 256
 W_HALF = 128
-INF_DIST = 1e10
 
 
 def _freq_matrix(L: int, dtype=jnp.float32):
@@ -77,19 +82,21 @@ def pack_nerf_params(nerf_params, dtype=jnp.bfloat16):
     w0x, w0s, w0c = _split_pe_rows(p["pts"][0]["w"], L_PTS)
     w5 = jnp.asarray(p["pts"][5]["w"])  # [63 + 256, 256]: [x_pe | h]
     w5x, w5s, w5c = _split_pe_rows(w5[:63], L_PTS)
-    wv = jnp.asarray(p["views"]["w"])   # [256 + 27, 128]: [feature | d_pe]
-    wvx, wvs, wvc = _split_pe_rows(wv[W:], L_DIR)
+
+    # One K=63 MXU pass per PE consumer instead of three tiny-K dots:
+    # rows ordered [x(3) | sin(30) | cos(30)] to match the in-kernel
+    # concat([x, sin xb, cos xb]).
+    w0p = jnp.concatenate([w0x, w0s, w0c], axis=0)
+    w5p = jnp.concatenate([w5x, w5s, w5c], axis=0)
 
     packed = {
         "bx": _freq_matrix(L_PTS, dtype),
-        "bd": _freq_matrix(L_DIR, dtype),
-        "w0x": cast(w0x), "w0s": cast(w0s), "w0c": cast(w0c),
+        "w0p": cast(w0p),
         "b0": bias(p["pts"][0]["b"]),
-        "w5x": cast(w5x), "w5s": cast(w5s), "w5c": cast(w5c),
+        "w5p": cast(w5p),
         "w5h": cast(w5[63:]),
         "b5": bias(p["pts"][5]["b"]),
-        "wvf": cast(wv[:W]),
-        "wvx": cast(wvx), "wvs": cast(wvs), "wvc": cast(wvc),
+        "wvf": cast(jnp.asarray(p["views"]["w"])[:W]),
         "bv": bias(p["views"]["b"]),
         "w_alpha": cast(
             jnp.zeros((W, W_HALF)).at[:, :1].set(jnp.asarray(p["alpha"]["w"]))
@@ -113,13 +120,13 @@ def pack_nerf_params(nerf_params, dtype=jnp.bfloat16):
 
 
 _WEIGHT_ORDER = (
-    "bx", "bd",
-    "w0x", "w0s", "w0c", "b0",
+    "bx",
+    "w0p", "b0",
     "w1", "b1", "w2", "b2", "w3", "b3", "w4", "b4",
-    "w5x", "w5s", "w5c", "w5h", "b5",
+    "w5p", "w5h", "b5",
     "w6", "b6", "w7", "b7",
     "w_alpha", "b_alpha", "w_feat", "b_feat",
-    "wvf", "wvx", "wvs", "wvc", "bv",
+    "wvf", "bv",
     "w_rgb", "b_rgb",
 )
 
@@ -135,146 +142,103 @@ def _dot(x, w):
     ).astype(w.dtype)
 
 
-def _kernel(pts_ref, dirs_ref, z_ref, dnorm_ref, add_ref, mul_ref, *refs):
-    (bx, bd,
-     w0x, w0s, w0c, b0,
-     w1, b1, w2, b2, w3, b3, w4, b4,
-     w5x, w5s, w5c, w5h, b5,
-     w6, b6, w7, b7,
-     w_alpha, b_alpha, w_feat, b_feat,
-     wvf, wvx, wvs, wvc, bv,
-     w_rgb, b_rgb,
-     out_ref) = refs
+def _make_kernel(S: int):
+    def _kernel(pts_ref, vcon_ref, *refs):
+        (bx,
+         w0p, b0,
+         w1, b1, w2, b2, w3, b3, w4, b4,
+         w5p, w5h, b5,
+         w6, b6, w7, b7,
+         w_alpha, b_alpha, w_feat, b_feat,
+         wvf, bv,
+         w_rgb, b_rgb,
+         out_ref) = refs
 
-    R = z_ref.shape[0]
-    P = R * S
-    cdt = w1.dtype
+        P = pts_ref.shape[0]         # rays_per_block * S point rows
+        R = P // S
+        cdt = w1.dtype
 
-    x = pts_ref[:].reshape(P, 3).astype(cdt)
-    xb = _dot(x, bx[:])                    # [P, 30]
-    sx = jnp.sin(xb.astype(jnp.float32)).astype(cdt)
-    cx = jnp.cos(xb.astype(jnp.float32)).astype(cdt)
+        x = pts_ref[:].astype(cdt)             # [P, 3]
+        xb = _dot(x, bx[:])                    # [P, 30]
+        sx = jnp.sin(xb.astype(jnp.float32)).astype(cdt)
+        cx = jnp.cos(xb.astype(jnp.float32)).astype(cdt)
+        pe = jnp.concatenate([x, sx, cx], axis=1)  # [P, 63]
 
-    h = jnp.maximum(
-        _dot(x, w0x[:]) + _dot(sx, w0s[:]) + _dot(cx, w0c[:]) + b0[:], 0.0
-    )
-    h = jnp.maximum(_dot(h, w1[:]) + b1[:], 0.0)
-    h = jnp.maximum(_dot(h, w2[:]) + b2[:], 0.0)
-    h = jnp.maximum(_dot(h, w3[:]) + b3[:], 0.0)
-    h = jnp.maximum(_dot(h, w4[:]) + b4[:], 0.0)
-    h = jnp.maximum(
-        _dot(x, w5x[:]) + _dot(sx, w5s[:]) + _dot(cx, w5c[:])
-        + _dot(h, w5h[:]) + b5[:],
-        0.0,
-    )
-    h = jnp.maximum(_dot(h, w6[:]) + b6[:], 0.0)
-    h = jnp.maximum(_dot(h, w7[:]) + b7[:], 0.0)
+        h = jnp.maximum(_dot(pe, w0p[:]) + b0[:], 0.0)
+        h = jnp.maximum(_dot(h, w1[:]) + b1[:], 0.0)
+        h = jnp.maximum(_dot(h, w2[:]) + b2[:], 0.0)
+        h = jnp.maximum(_dot(h, w3[:]) + b3[:], 0.0)
+        h = jnp.maximum(_dot(h, w4[:]) + b4[:], 0.0)
+        h = jnp.maximum(
+            _dot(pe, w5p[:]) + _dot(h, w5h[:]) + b5[:], 0.0
+        )
+        h = jnp.maximum(_dot(h, w6[:]) + b6[:], 0.0)
+        h = jnp.maximum(_dot(h, w7[:]) + b7[:], 0.0)
 
-    sigma = (
-        (_dot(h, w_alpha[:]) + b_alpha[:])[:, 0]
-        .astype(jnp.float32)
-        .reshape(R, S)
-    )
-    feat = _dot(h, w_feat[:]) + b_feat[:]           # [P, 256]
+        sigma = _dot(h, w_alpha[:]) + b_alpha[:]        # [P, 128] (col 0)
+        feat = _dot(h, w_feat[:]) + b_feat[:]           # [P, 256]
 
-    d = dirs_ref[:].astype(cdt)                     # [R, 3]
-    db = _dot(d, bd[:]).astype(jnp.float32)         # [R, 12]
-    vcon = _dot(d, wvx[:]) + _dot(jnp.sin(db).astype(cdt), wvs[:]) + _dot(
-        jnp.cos(db).astype(cdt), wvc[:]
-    )                                               # [R, 128]
-    vcon_p = jnp.broadcast_to(
-        vcon[:, None, :], (R, S, W_HALF)
-    ).reshape(P, W_HALF)
-    hv = jnp.maximum(_dot(feat, wvf[:]) + vcon_p + bv[:], 0.0)
-    rgb_logits = (
-        (_dot(hv, w_rgb[:]) + b_rgb[:])[:, :3].astype(jnp.float32)
-    )
+        vcon = vcon_ref[:]                              # [R, 128]
+        vcon_p = jnp.broadcast_to(
+            vcon[:, None, :].astype(cdt), (R, S, W_HALF)
+        ).reshape(P, W_HALF)
+        hv = jnp.maximum(_dot(feat, wvf[:]) + vcon_p + bv[:], 0.0)
+        rgb = _dot(hv, w_rgb[:]) + b_rgb[:]             # [P, 128] (cols 0:3)
 
-    # ---- compositing (inference semantics) ----
-    z = z_ref[:]
-    dnorm = dnorm_ref[:]
-    rgb = jax.nn.sigmoid(rgb_logits).reshape(R, S, 3)
-    dists = jnp.concatenate(
-        [z[:, 1:] - z[:, :-1], jnp.full((R, 1), INF_DIST, z.dtype)], axis=1
-    ) * dnorm
-    a = jnp.maximum(sigma + add_ref[:], 0.0)
-    alpha = (1.0 - jnp.exp(-a * dists)) * jnp.maximum(mul_ref[:], 0.0)
+        out_ref[:] = jnp.concatenate(
+            [rgb[:, :3], sigma[:, :1]], axis=1
+        ).astype(jnp.float32)
 
-    one_m = 1.0 - alpha + 1e-10
-    trans_cols = [jnp.ones((R, 1), z.dtype)]
-    for s_i in range(1, S):
-        trans_cols.append(trans_cols[-1] * one_m[:, s_i - 1 : s_i])
-    trans = jnp.concatenate(trans_cols, axis=1)
-    weights = alpha * trans
-
-    rgb_map = jnp.sum(weights[:, :, None] * rgb, axis=1)
-    depth = jnp.sum(weights * z, axis=1)
-    acc = jnp.sum(weights, axis=1)
-    out_ref[:] = jnp.concatenate(
-        [rgb_map, depth[:, None], acc[:, None], jnp.zeros((R, 3), z.dtype)],
-        axis=1,
-    )
+    return _kernel
 
 
-@functools.partial(jax.jit, static_argnames=("block_rays", "interpret"))
-def fused_nerf_composite(
+@functools.partial(
+    jax.jit, static_argnames=("rays_per_block", "interpret")
+)
+def fused_nerf_raw(
     packed,
     pts,
-    dirs,
-    z_vals,
-    dnorm,
-    mm_add,
-    mm_mul,
-    block_rays: int = 384,
+    vcon,
+    rays_per_block: int = 256,
     interpret: bool = False,
 ):
-    """Fused PE -> NeRF MLP -> composite.
+    """Fused PE -> NeRF MLP forward (no AD; inference path).
 
     Args:
       packed: ``pack_nerf_params`` output.
-      pts: [N, S, 3] NDC query points.
-      dirs: [N, 3] unit view directions.
-      z_vals: [N, S] sample depths (sorted).
-      dnorm: [N] norm of the NDC ray direction (interval scaling).
-      mm_add, mm_mul: [N, S] sampler density corrections.
+      pts: [N, S, 3] NDC query points (offsets already applied).
+      vcon: [N, 128] per-ray view-direction contribution
+        ``d_pe @ views_w[256:]`` (bias excluded — it is added in-kernel).
 
-    Returns: dict(rgb [N, 3], depth [N], acc [N]).
+    Returns: raw [N, S, 4] float32 (rgb logits, sigma) — the same contract
+    as ``nerf_mlp_apply``, ready for ``ops.composite``.
     """
-    N = pts.shape[0]
-    n_blocks = -(-N // block_rays)
-    pad = n_blocks * block_rays - N
+    N, S = pts.shape[0], pts.shape[1]
+    nb = -(-N // rays_per_block)
+    pad = nb * rays_per_block - N
     if pad:
         pts = jnp.pad(pts, ((0, pad), (0, 0), (0, 0)))
-        dirs = jnp.pad(dirs, ((0, pad), (0, 0)))
-        z_vals = jnp.pad(z_vals, ((0, pad), (0, 0)))
-        dnorm = jnp.pad(dnorm, ((0, pad),))
-        mm_add = jnp.pad(mm_add, ((0, pad), (0, 0)))
-        mm_mul = jnp.pad(mm_mul, ((0, pad), (0, 0)))
+        vcon = jnp.pad(vcon, ((0, pad), (0, 0)))
+    rows = rays_per_block * S
+    pts_flat = pts.reshape(nb * rows, 3)
 
-    ray_spec = lambda cols: pl.BlockSpec(
-        (block_rays, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
+    weights = [packed[k] for k in _WEIGHT_ORDER]
     full = lambda a: pl.BlockSpec(
         a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM
     )
-
-    weights = [packed[k] for k in _WEIGHT_ORDER]
     out = pl.pallas_call(
-        _kernel,
-        grid=(n_blocks,),
+        _make_kernel(S),
+        grid=(nb,),
         in_specs=[
-            pl.BlockSpec((block_rays, S, 3), lambda i: (i, 0, 0),
+            pl.BlockSpec((rows, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            ray_spec(3),
-            ray_spec(S),
-            ray_spec(1),
-            ray_spec(S),
-            ray_spec(S),
+            pl.BlockSpec((rays_per_block, W_HALF), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ] + [full(w) for w in weights],
-        out_specs=ray_spec(8),
-        out_shape=jax.ShapeDtypeStruct((n_blocks * block_rays, 8), jnp.float32),
+        out_specs=pl.BlockSpec((rows, 4), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb * rows, 4), jnp.float32),
         interpret=interpret,
-    )(pts, dirs, z_vals, dnorm[:, None], mm_add, mm_mul, *weights)
+    )(pts_flat, vcon, *weights)
 
-    out = out[:N]
-    return {"rgb": out[:, :3], "depth": out[:, 3], "acc": out[:, 4]}
+    return out.reshape(nb * rays_per_block, S, 4)[:N]

@@ -83,9 +83,9 @@ class RenderStatics:
     offset_scale: float = 1e-2
     compute_dtype: Optional[str] = None  # 'bfloat16' for the inference path
     use_pallas: bool = False  # fused PE->NeRF->composite kernel (inference)
-    pallas_block_rays: int = 384  # rays per fused-kernel grid step; 512+
-                                  # crashes the Mosaic compiler (2026-08 TPU
-                                  # v5e toolchain) — keep <= 384
+    pallas_block_rays: int = 256  # rays per fused-kernel grid step; >= 384
+                                  # at frame-scale grids crashes the Mosaic
+                                  # compiler (2026-08 TPU v5e toolchain)
     netarch: str = "nerf"     # radiance-field family: 'nerf' | 'donerf'
 
     # -- factories reproducing the reference's behavior matrix ------------
@@ -362,18 +362,14 @@ def render_rays(params, rays, scene, controls, statics: RenderStatics):
     if statics.add_offsets:
         query_pts = query_pts + statics.offset_scale * points_offset
 
-    # 6a. Fused Pallas path (inference only): PE + NeRF MLP + compositing in
-    # one kernel with VMEM-resident weights/activations.
+    # 6. NeRF forward (fused Pallas kernel on the inference path, plain XLA
+    # otherwise) + shared compositing.
     if statics.use_pallas:
-        assert (
-            statics.use_mm
-            and not statics.clamp_raw
-            and statics.noise_std == 0.0
-            and not statics.explore
-            and not statics.white_bkgd
-        ), "the fused kernel implements inference compositing semantics only"
+        # In-VMEM PE + MLP chain; view-dir contribution and compositing
+        # stay in XLA (lane-sliver ops are VPU-hostile in-kernel). No AD
+        # through pallas_call — inference graphs only.
         from pronerf_tpu.kernels.fused_nerf import (
-            fused_nerf_composite,
+            fused_nerf_raw,
             pack_nerf_params,
         )
 
@@ -383,41 +379,36 @@ def render_rays(params, rays, scene, controls, statics: RenderStatics):
                 params["nerf"],
                 jnp.bfloat16 if cdt is not None else jnp.float32,
             )
-        dnorm = jnp.linalg.norm(ndc_d, axis=-1)
-        fused = fused_nerf_composite(
-            packed, query_pts, rays["viewdirs"], z_vals, dnorm,
-            mm_add, mm_mul,
-            block_rays=statics.pallas_block_rays,
+        kdt = jnp.bfloat16 if cdt is not None else jnp.float32
+        d_pe = positional_encoding(rays["viewdirs"], statics.multires_views)
+        wv = params["nerf"]["views"]["w"]
+        vcon = jax.lax.dot_general(
+            d_pe.astype(kdt), wv[wv.shape[0] - d_pe.shape[-1]:].astype(kdt),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        raw = fused_nerf_raw(
+            packed, query_pts, vcon,
+            rays_per_block=statics.pallas_block_rays,
             interpret=jax.default_backend() != "tpu",
         )
-        acc = fused["acc"]
-        return {
-            "rgb0": refine_rgb,
-            "rgb1": fused["rgb"],
-            "depth": fused["depth"],
-            "disp": 1.0 / jnp.maximum(1e-10, fused["depth"] / acc),
-            "acc": acc,
-            "weights": jnp.zeros_like(z_vals),
-            "mm_rgb": mm_rgb,
-            "depth0": jnp.mean(z_vals, axis=-1),
-            "sigma": jnp.zeros_like(z_vals),
-        }
-
-    # 6. NeRF MLP + compositing.
-    x_pe = positional_encoding(query_pts, statics.multires)
-    d_pe = positional_encoding(rays["viewdirs"], statics.multires_views)
-    if cdt is None or statics.netarch == "donerf":
-        # Parity path (and donerf) broadcasts dirs per point; the serving
-        # path hands nerf_mlp_apply the per-ray encoding directly.
-        d_pe = jnp.broadcast_to(
-            d_pe[:, None, :], (n_rays, z_vals.shape[-1], d_pe.shape[-1])
-        )
-    if statics.netarch == "donerf":
-        from pronerf_tpu.models.donerf import donerf_apply
-
-        raw = donerf_apply(params["nerf"], x_pe, d_pe, compute_dtype=cdt)
     else:
-        raw = nerf_mlp_apply(params["nerf"], x_pe, d_pe, statics.netskips, cdt)
+        x_pe = positional_encoding(query_pts, statics.multires)
+        d_pe = positional_encoding(rays["viewdirs"], statics.multires_views)
+        if cdt is None or statics.netarch == "donerf":
+            # Parity path (and donerf) broadcasts dirs per point; the
+            # serving path hands nerf_mlp_apply the per-ray encoding.
+            d_pe = jnp.broadcast_to(
+                d_pe[:, None, :], (n_rays, z_vals.shape[-1], d_pe.shape[-1])
+            )
+        if statics.netarch == "donerf":
+            from pronerf_tpu.models.donerf import donerf_apply
+
+            raw = donerf_apply(params["nerf"], x_pe, d_pe, compute_dtype=cdt)
+        else:
+            raw = nerf_mlp_apply(
+                params["nerf"], x_pe, d_pe, statics.netskips, cdt
+            )
 
     noise = None
     if statics.noise_std > 0.0:

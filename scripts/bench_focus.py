@@ -93,14 +93,12 @@ def main():
             "frame_whole_xla", inf, N, True),
         "frame_t16384_xla": lambda: frame_variant(
             "frame_t16384_xla", inf, 16384, True),
-        # NOTE: block_rays >= 512 crashes the Mosaic compiler (2026-08
-        # v5e toolchain); stay at <= 448.
+        # NOTE: >= 3072 point rows per block crashes the Mosaic compiler
+        # (2026-08 v5e toolchain); 256 rays = 2048 rows is the proven size.
+        "frame_whole_pallas_b128": lambda: frame_variant(
+            "frame_whole_pallas_b128", infp(128), N, True),
         "frame_whole_pallas_b256": lambda: frame_variant(
             "frame_whole_pallas_b256", infp(256), N, True),
-        "frame_whole_pallas_b384": lambda: frame_variant(
-            "frame_whole_pallas_b384", infp(384), N, True),
-        "frame_whole_pallas_b448": lambda: frame_variant(
-            "frame_whole_pallas_b448", infp(448), N, True),
     }
     for v in VARIANTS:
         table[v]()

@@ -136,21 +136,22 @@ def main():
     timed("pe_plus_nerf_mlp_xla", nerf_xla, jnp.float32(0))
 
     from pronerf_tpu.kernels.fused_nerf import (
-        fused_nerf_composite,
+        fused_nerf_raw,
         pack_nerf_params,
     )
+    from pronerf_tpu.ops.encoding import positional_encoding as pe
 
     packed = pack_nerf_params(params["nerf"], jnp.bfloat16)
-    zs = jnp.asarray(np.sort(rng.uniform(0.01, 0.99, (N, S)), -1), jnp.float32)
-    dn = jnp.asarray(rng.uniform(0.9, 1.5, (N,)), jnp.float32)
+    wv = jnp.asarray(params["nerf"]["views"]["w"])[256:]
+    vc = jnp.asarray(
+        np.asarray(pe(vd, 4)) @ np.asarray(wv), jnp.float32
+    )
 
-    for br in (256, 384, 512, 1024):
+    for br in (128, 256):
         def fk(c, br=br):
-            out = fused_nerf_composite(
-                packed, vary(qp, c), vd, zs, dn, ma, ma, block_rays=br
-            )
-            return c + out["rgb"][0, 0] * 1e-12
-        timed(f"fused_nerf_kernel_b{br}", fk, jnp.float32(0))
+            raw = fused_nerf_raw(packed, vary(qp, c), vc, rays_per_block=br)
+            return c + raw[0, 0, 0] * 1e-12
+        timed(f"fused_nerf_raw_b{br}", fk, jnp.float32(0))
 
     # --- whole-frame variants ---
     def frame_variant(name, statics, tile_rays, unroll):

@@ -1,0 +1,81 @@
+"""Op-level TPU profile of the serving frame render: captures a
+jax.profiler trace and prints the top XLA ops by device time, parsed
+locally from the xplane proto (no tensorboard UI needed).
+
+Usage: python scripts/profile_ops.py [xla|pallas] [top_n]
+"""
+
+from __future__ import annotations
+
+import collections
+import glob
+import json
+import pathlib
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+MODE = sys.argv[1] if len(sys.argv) > 1 else "xla"
+TOP_N = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pronerf_tpu.models import RenderStatics, init_pronerf_params
+    from pronerf_tpu.render import prepare_scene
+    from pronerf_tpu.render.renderer import make_frame_renderer
+    from pronerf_tpu.utils.profiling import readback
+    from pronerf_tpu.utils.synthetic import make_scene
+
+    H, W = 378, 504
+    sc = make_scene(n_views=17, H=H, W=W, focal=0.8 * W, seed=0)
+    scene = prepare_scene(sc["images"], sc["poses"], sc["K"])
+    params = init_pronerf_params(jax.random.PRNGKey(0))
+    statics = RenderStatics.infer(
+        compute_dtype="bfloat16", use_pallas=(MODE == "pallas")
+    )
+    renderer = make_frame_renderer(statics, H, W, sc["K"], tile_rays=0)
+    c2w = jnp.asarray(sc["poses"][0])
+
+    readback(renderer(params, scene, c2w)["rgb1"])  # warm
+
+    tmp = tempfile.mkdtemp(prefix="jaxprof_")
+    with jax.profiler.trace(tmp):
+        for i in range(3):
+            readback(renderer(params, scene, c2w + i * 1e-7)["rgb1"])
+
+    # parse the xplane proto
+    files = glob.glob(f"{tmp}/**/*.xplane.pb", recursive=True)
+    if not files:
+        raise SystemExit(f"no xplane.pb under {tmp}")
+    pd = jax.profiler.ProfileData.from_serialized_xspace(
+        open(files[0], "rb").read()
+    )
+    per_op = collections.Counter()
+    per_cat = collections.Counter()
+    for plane in pd.planes:
+        if "TPU" not in plane.name and "tpu" not in plane.name.lower():
+            continue
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                dur = ev.duration_ns
+                per_op[ev.name] += dur
+    total = sum(per_op.values())
+    print(json.dumps({"mode": MODE, "total_op_ms_3frames": round(
+        total / 1e6, 2), "per_frame_ms": round(total / 3e6, 2)}))
+    for name, ns in per_op.most_common(TOP_N):
+        print(json.dumps({
+            "op": name[:110], "ms_per_frame": round(ns / 3e6, 3),
+            "pct": round(100 * ns / total, 1),
+        }))
+
+
+if __name__ == "__main__":
+    main()

@@ -4,23 +4,26 @@ NeRF MLP (8x256, skip@4, view branch) -> raw [N, S, 4] radiance outputs.
 Why a kernel: under plain XLA each MLP layer's [P, 256] activation round-
 trips through HBM (1.5M points x 256 x bf16 x read+write ~ 1.9 ms/layer at
 fern scale — the stage is bandwidth-bound at ~21 ms/frame); here the chain
-runs per ray-block with weights and activations resident in VMEM (measured
-13.8 ms for the pure matmul chain at the same shapes, 64% MFU).
+runs per point-block with weights and activations resident in VMEM
+(measured 13.8 ms for the pure matmul chain at the same shapes, 64% MFU).
 
-Kernel-shaping decisions (all measured on TPU v5e):
-- the positional encoding is FORMULATED AS MATMULS: xb = x @ B (B holds the
-  2^k frequency pattern), then sin/cos on [P, 30] panels, and the first /
-  skip layers consume (x, sin xb, cos xb) through row-split weight panels;
-- compositing and the view-direction ENCODING live OUTSIDE the kernel:
-  the in-kernel [R, 1]-wide transmittance/concat chain of the v1 kernel
-  cost ~10 ms of lane-sliver VPU work (23.5 ms v1 vs 13.8 ms chain); the
-  caller passes the per-ray view contribution vcon = d_pe @ w_views[256:]
-  ([N, 128], tiny in XLA) and feeds the raw output to the tested
-  ``ops.composite``;
-- matmuls run in bf16 with f32 MXU accumulation (Mosaic requires 32-bit
-  accumulators), rounded to the pack dtype per dot;
-- block sizes >= 512 rays (and 384-ray blocks at ~500-step grids) crash
-  the Mosaic compiler (2026-08 v5e toolchain) — default 256 rays/block.
+The kernel is TRANSPOSED: activations are [features, points] — features on
+sublanes, points on lanes. Measured rationale (op-level profile of the
+row-major v2): with [P, 3]-shaped inputs the surrounding XLA graph spent
+7.1 ms/frame on relayout copies (compact N-minor layouts <-> the row-major
+[P, small] arrays Pallas requires), and every narrow slice/concat inside
+the kernel was a lane-sliver VPU op. Transposed:
+- the XLA-side reshape/transpose of [N, S, 3] -> [3, P] and [4, P] ->
+  [N, S, 4] are layout-neutral (points stay minor) — no relayout copies;
+- sin/cos and the PE concat run on [30/63, Pb] panels with FULL lane
+  utilization; rgb/sigma extraction are sublane slices;
+- matmuls become w_T [out, in] @ h_T [in, Pb] — the same MXU shapes.
+
+Compositing and the view-direction ENCODING live outside the kernel: the
+caller passes vcon_t = (d_pe @ views_w[256:]).T ([128, N], tiny in XLA) and
+feeds the raw output to the tested ``ops.composite``. Matmuls run in bf16
+with f32 MXU accumulation (Mosaic requires 32-bit accumulators), rounded to
+the pack dtype per dot.
 
 Numerical semantics mirror ``models.mlp.nerf_mlp_apply`` with a per-ray
 d_pe; the reference runs this net as its TRT FP16 NeRF engine
@@ -66,127 +69,119 @@ def _split_pe_rows(w, L: int):
 
 
 def pack_nerf_params(nerf_params, dtype=jnp.bfloat16):
-    """Split/reorder the NeRF param pytree into kernel panels.
+    """Split/reorder the NeRF param pytree into TRANSPOSED kernel panels
+    (w_T [out, in]; biases as [out, 1] columns).
 
     ``dtype`` governs matmul inputs AND inter-layer activations/biases
     (float32 = exact; bfloat16 = the serving fast path: halves VMEM and
     VPU traffic, MXU still accumulates f32 per pass)."""
     p = nerf_params
 
-    def cast(a):
-        return jnp.asarray(a).astype(dtype)
+    def wt(a):
+        return jnp.asarray(a).T.astype(dtype)
 
     def bias(b):
-        return jnp.asarray(b).reshape(1, -1).astype(dtype)
+        return jnp.asarray(b).reshape(-1, 1).astype(dtype)
 
     w0x, w0s, w0c = _split_pe_rows(p["pts"][0]["w"], L_PTS)
     w5 = jnp.asarray(p["pts"][5]["w"])  # [63 + 256, 256]: [x_pe | h]
     w5x, w5s, w5c = _split_pe_rows(w5[:63], L_PTS)
 
-    # One K=63 MXU pass per PE consumer instead of three tiny-K dots:
-    # rows ordered [x(3) | sin(30) | cos(30)] to match the in-kernel
-    # concat([x, sin xb, cos xb]).
+    # One K=63 MXU pass per PE consumer: rows ordered [x(3)|sin(30)|cos(30)]
+    # to match the in-kernel sublane concat([x, sin xb, cos xb]).
     w0p = jnp.concatenate([w0x, w0s, w0c], axis=0)
     w5p = jnp.concatenate([w5x, w5s, w5c], axis=0)
 
+    # alpha/rgb heads padded to 8 output rows (sublane tile)
+    w_alpha = jnp.zeros((W, 8)).at[:, :1].set(jnp.asarray(p["alpha"]["w"]))
+    b_alpha = jnp.zeros((8,)).at[:1].set(jnp.asarray(p["alpha"]["b"]))
+    w_rgb = jnp.zeros((W_HALF, 8)).at[:, :3].set(jnp.asarray(p["rgb"]["w"]))
+    b_rgb = jnp.zeros((8,)).at[:3].set(jnp.asarray(p["rgb"]["b"]))
+
     packed = {
-        "bx": _freq_matrix(L_PTS, dtype),
-        "w0p": cast(w0p),
-        "b0": bias(p["pts"][0]["b"]),
-        "w5p": cast(w5p),
-        "w5h": cast(w5[63:]),
+        "bx_t": _freq_matrix(L_PTS, dtype).T,        # [30, 3]
+        "w0p_t": wt(w0p), "b0": bias(p["pts"][0]["b"]),
+        "w5p_t": wt(w5p), "w5h_t": wt(w5[63:]),
         "b5": bias(p["pts"][5]["b"]),
-        "wvf": cast(jnp.asarray(p["views"]["w"])[:W]),
+        "w_alpha_t": wt(w_alpha), "b_alpha": bias(b_alpha),
+        "w_feat_t": wt(p["feature"]["w"]), "b_feat": bias(p["feature"]["b"]),
+        "wvf_t": wt(jnp.asarray(p["views"]["w"])[:W]),
         "bv": bias(p["views"]["b"]),
-        "w_alpha": cast(
-            jnp.zeros((W, W_HALF)).at[:, :1].set(jnp.asarray(p["alpha"]["w"]))
-        ),
-        "b_alpha": bias(
-            jnp.zeros((W_HALF,)).at[:1].set(jnp.asarray(p["alpha"]["b"]))
-        ),
-        "w_feat": cast(p["feature"]["w"]),
-        "b_feat": bias(p["feature"]["b"]),
-        "w_rgb": cast(
-            jnp.zeros((W_HALF, W_HALF)).at[:, :3].set(jnp.asarray(p["rgb"]["w"]))
-        ),
-        "b_rgb": bias(
-            jnp.zeros((W_HALF,)).at[:3].set(jnp.asarray(p["rgb"]["b"]))
-        ),
+        "w_rgb_t": wt(w_rgb), "b_rgb": bias(b_rgb),
     }
     for i in (1, 2, 3, 4, 6, 7):
-        packed[f"w{i}"] = cast(p["pts"][i]["w"])
+        packed[f"w{i}_t"] = wt(p["pts"][i]["w"])
         packed[f"b{i}"] = bias(p["pts"][i]["b"])
     return packed
 
 
 _WEIGHT_ORDER = (
-    "bx",
-    "w0p", "b0",
-    "w1", "b1", "w2", "b2", "w3", "b3", "w4", "b4",
-    "w5p", "w5h", "b5",
-    "w6", "b6", "w7", "b7",
-    "w_alpha", "b_alpha", "w_feat", "b_feat",
-    "wvf", "bv",
-    "w_rgb", "b_rgb",
+    "bx_t",
+    "w0p_t", "b0",
+    "w1_t", "b1", "w2_t", "b2", "w3_t", "b3", "w4_t", "b4",
+    "w5p_t", "w5h_t", "b5",
+    "w6_t", "b6", "w7_t", "b7",
+    "w_alpha_t", "b_alpha", "w_feat_t", "b_feat",
+    "wvf_t", "bv",
+    "w_rgb_t", "b_rgb",
 )
 
 
-def _dot(x, w):
-    """MXU matmul: f32 accumulation (Mosaic requires a 32-bit acc), result
-    rounded to the compute dtype — so inter-layer activations stay bf16 on
-    the serving path (halved VMEM/VPU traffic), one rounding per dot."""
+def _mm(w_t, x_t):
+    """MXU matmul w_T [M, K] @ x_T [K, Nlanes]: f32 accumulation (Mosaic
+    requires a 32-bit acc), rounded to the compute dtype per dot."""
     return jax.lax.dot_general(
-        x.astype(w.dtype), w,
+        w_t, x_t.astype(w_t.dtype),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(w.dtype)
+    ).astype(w_t.dtype)
 
 
 def _make_kernel(S: int):
-    def _kernel(pts_ref, vcon_ref, *refs):
-        (bx,
-         w0p, b0,
-         w1, b1, w2, b2, w3, b3, w4, b4,
-         w5p, w5h, b5,
-         w6, b6, w7, b7,
-         w_alpha, b_alpha, w_feat, b_feat,
-         wvf, bv,
-         w_rgb, b_rgb,
+    def _kernel(pts_ref, vcon_ref, expand_ref, *refs):
+        (bx_t,
+         w0p_t, b0,
+         w1_t, b1, w2_t, b2, w3_t, b3, w4_t, b4,
+         w5p_t, w5h_t, b5,
+         w6_t, b6, w7_t, b7,
+         w_alpha_t, b_alpha, w_feat_t, b_feat,
+         wvf_t, bv,
+         w_rgb_t, b_rgb,
          out_ref) = refs
 
-        P = pts_ref.shape[0]         # rays_per_block * S point rows
-        R = P // S
-        cdt = w1.dtype
+        P = pts_ref.shape[1]         # point columns in this block
+        cdt = w1_t.dtype
 
-        x = pts_ref[:].astype(cdt)             # [P, 3]
-        xb = _dot(x, bx[:])                    # [P, 30]
+        x = pts_ref[:].astype(cdt)                       # [3, P]
+        xb = _mm(bx_t[:], x)                             # [30, P]
         sx = jnp.sin(xb.astype(jnp.float32)).astype(cdt)
         cx = jnp.cos(xb.astype(jnp.float32)).astype(cdt)
-        pe = jnp.concatenate([x, sx, cx], axis=1)  # [P, 63]
+        pe = jnp.concatenate([x, sx, cx], axis=0)        # [63, P]
 
-        h = jnp.maximum(_dot(pe, w0p[:]) + b0[:], 0.0)
-        h = jnp.maximum(_dot(h, w1[:]) + b1[:], 0.0)
-        h = jnp.maximum(_dot(h, w2[:]) + b2[:], 0.0)
-        h = jnp.maximum(_dot(h, w3[:]) + b3[:], 0.0)
-        h = jnp.maximum(_dot(h, w4[:]) + b4[:], 0.0)
+        h = jnp.maximum(_mm(w0p_t[:], pe) + b0[:], 0.0)  # [256, P]
+        h = jnp.maximum(_mm(w1_t[:], h) + b1[:], 0.0)
+        h = jnp.maximum(_mm(w2_t[:], h) + b2[:], 0.0)
+        h = jnp.maximum(_mm(w3_t[:], h) + b3[:], 0.0)
+        h = jnp.maximum(_mm(w4_t[:], h) + b4[:], 0.0)
         h = jnp.maximum(
-            _dot(pe, w5p[:]) + _dot(h, w5h[:]) + b5[:], 0.0
+            _mm(w5p_t[:], pe) + _mm(w5h_t[:], h) + b5[:], 0.0
         )
-        h = jnp.maximum(_dot(h, w6[:]) + b6[:], 0.0)
-        h = jnp.maximum(_dot(h, w7[:]) + b7[:], 0.0)
+        h = jnp.maximum(_mm(w6_t[:], h) + b6[:], 0.0)
+        h = jnp.maximum(_mm(w7_t[:], h) + b7[:], 0.0)
 
-        sigma = _dot(h, w_alpha[:]) + b_alpha[:]        # [P, 128] (col 0)
-        feat = _dot(h, w_feat[:]) + b_feat[:]           # [P, 256]
+        sigma = _mm(w_alpha_t[:], h) + b_alpha[:]        # [8, P] (row 0)
+        feat = _mm(w_feat_t[:], h) + b_feat[:]           # [256, P]
 
-        vcon = vcon_ref[:]                              # [R, 128]
-        vcon_p = jnp.broadcast_to(
-            vcon[:, None, :].astype(cdt), (R, S, W_HALF)
-        ).reshape(P, W_HALF)
-        hv = jnp.maximum(_dot(feat, wvf[:]) + vcon_p + bv[:], 0.0)
-        rgb = _dot(hv, w_rgb[:]) + b_rgb[:]             # [P, 128] (cols 0:3)
+        # Per-ray -> per-point lane expansion AS A MATMUL: the reshape-
+        # broadcast form crashes Mosaic (lane-dim expansion); the 0/1
+        # expansion matrix E [R, R*S] rides the MXU instead.
+        vcon = vcon_ref[:].astype(cdt)                   # [128, R]
+        vcon_p = _mm(vcon, expand_ref[:])                # [128, P]
+        hv = jnp.maximum(_mm(wvf_t[:], feat) + vcon_p + bv[:], 0.0)
+        rgb = _mm(w_rgb_t[:], hv) + b_rgb[:]             # [8, P] (rows 0:3)
 
         out_ref[:] = jnp.concatenate(
-            [rgb[:, :3], sigma[:, :1]], axis=1
+            [rgb[:3], sigma[:1]], axis=0
         ).astype(jnp.float32)
 
     return _kernel
@@ -198,7 +193,7 @@ def _make_kernel(S: int):
 def fused_nerf_raw(
     packed,
     pts,
-    vcon,
+    vcon_t,
     rays_per_block: int = 256,
     interpret: bool = False,
 ):
@@ -207,20 +202,26 @@ def fused_nerf_raw(
     Args:
       packed: ``pack_nerf_params`` output.
       pts: [N, S, 3] NDC query points (offsets already applied).
-      vcon: [N, 128] per-ray view-direction contribution
-        ``d_pe @ views_w[256:]`` (bias excluded — it is added in-kernel).
+      vcon_t: [128, N] per-ray view-direction contribution, transposed:
+        ``(d_pe @ views_w[256:]).T`` (bias excluded — added in-kernel).
 
     Returns: raw [N, S, 4] float32 (rgb logits, sigma) — the same contract
     as ``nerf_mlp_apply``, ready for ``ops.composite``.
     """
     N, S = pts.shape[0], pts.shape[1]
     nb = -(-N // rays_per_block)
-    pad = nb * rays_per_block - N
-    if pad:
-        pts = jnp.pad(pts, ((0, pad), (0, 0), (0, 0)))
-        vcon = jnp.pad(vcon, ((0, pad), (0, 0)))
-    rows = rays_per_block * S
-    pts_flat = pts.reshape(nb * rows, 3)
+    padn = nb * rays_per_block - N
+    if padn:
+        pts = jnp.pad(pts, ((0, padn), (0, 0), (0, 0)))
+        vcon_t = jnp.pad(vcon_t, ((0, 0), (0, padn)))
+    cols = rays_per_block * S
+    # [Np, S, 3] -> [3, P]: points stay the minor axis — layout-neutral.
+    pts_t = pts.reshape(nb * cols, 3).T
+
+    dtype = packed["w1_t"].dtype
+    expand = jnp.asarray(
+        np.kron(np.eye(rays_per_block), np.ones((1, S))), dtype
+    )  # [R, R*S] 0/1 ray->point expansion
 
     weights = [packed[k] for k in _WEIGHT_ORDER]
     full = lambda a: pl.BlockSpec(
@@ -230,15 +231,16 @@ def fused_nerf_raw(
         _make_kernel(S),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((rows, 3), lambda i: (i, 0),
+            pl.BlockSpec((3, cols), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rays_per_block, W_HALF), lambda i: (i, 0),
+            pl.BlockSpec((W_HALF, rays_per_block), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
+            full(expand),
         ] + [full(w) for w in weights],
-        out_specs=pl.BlockSpec((rows, 4), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((4, cols), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb * rows, 4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((4, nb * cols), jnp.float32),
         interpret=interpret,
-    )(pts_flat, vcon, *weights)
+    )(pts_t, vcon_t, expand, *weights)
 
-    return out.reshape(nb * rays_per_block, S, 4)[:N]
+    return out.T.reshape(nb * rays_per_block, S, 4)[:N]

@@ -382,13 +382,13 @@ def render_rays(params, rays, scene, controls, statics: RenderStatics):
         kdt = jnp.bfloat16 if cdt is not None else jnp.float32
         d_pe = positional_encoding(rays["viewdirs"], statics.multires_views)
         wv = params["nerf"]["views"]["w"]
-        vcon = jax.lax.dot_general(
-            d_pe.astype(kdt), wv[wv.shape[0] - d_pe.shape[-1]:].astype(kdt),
-            dimension_numbers=(((1,), (0,)), ((), ())),
+        vcon_t = jax.lax.dot_general(
+            wv[wv.shape[0] - d_pe.shape[-1]:].astype(kdt), d_pe.astype(kdt),
+            dimension_numbers=(((0,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        )  # [128, N]
         raw = fused_nerf_raw(
-            packed, query_pts, vcon,
+            packed, query_pts, vcon_t,
             rays_per_block=statics.pallas_block_rays,
             interpret=jax.default_backend() != "tpu",
         )

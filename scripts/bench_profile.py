@@ -144,7 +144,7 @@ def main():
     packed = pack_nerf_params(params["nerf"], jnp.bfloat16)
     wv = jnp.asarray(params["nerf"]["views"]["w"])[256:]
     vc = jnp.asarray(
-        np.asarray(pe(vd, 4)) @ np.asarray(wv), jnp.float32
+        (np.asarray(pe(vd, 4)) @ np.asarray(wv)).T, jnp.float32
     )
 
     for br in (128, 256):

@@ -33,7 +33,7 @@ def main():
     vd = jnp.asarray(rng.normal(size=(N, 3)), jnp.float32)
     vd = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True)
     wv = jnp.asarray(params["nerf"]["views"]["w"])[256:]
-    vc = jnp.asarray(positional_encoding(vd, 4) @ wv, jnp.float32)
+    vc = jnp.asarray((positional_encoding(vd, 4) @ wv).T, jnp.float32)
 
     def null_ms(reps=5):
         f0 = jax.jit(lambda x: x + 1.0)

@@ -15,10 +15,10 @@ def _vcon(params, dirs, dtype):
     d_pe = positional_encoding(dirs, 4)
     wv = jnp.asarray(params["views"]["w"])[256:]
     return jax.lax.dot_general(
-        d_pe.astype(dtype), wv.astype(dtype),
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        wv.astype(dtype), d_pe.astype(dtype),
+        dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    )  # [128, N]
 
 
 def _reference(params, pts, dirs):

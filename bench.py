@@ -80,8 +80,14 @@ def run_bench(H=378, W=504, frames_per_loop=6, reps=4):
     from pronerf_tpu.utils.synthetic import make_scene
 
     # The serving configuration AS THE CLI EXPRESSES IT (no bench-only
-    # knobs): bf16 fast path + whole-frame single dispatch.
-    cfg = Config(datadir="synthetic", use_trt=True, tile_rays=0)
+    # knobs): bf16 fast path + whole-frame single dispatch + the fused
+    # transposed NeRF kernel.
+    from pronerf_tpu.cli import DEFAULT_TRT_CONFIG
+
+    cfg = Config.from_file(
+        DEFAULT_TRT_CONFIG,
+        datadir="synthetic", use_trt=True, tile_rays=0, use_pallas=True,
+    )
     statics = _infer_statics(cfg, use_bf16=True)
 
     # Fern-scale scene: 17 training views at the bench resolution.
@@ -137,9 +143,11 @@ def main():
             "dispatch_null_ms": round(null, 2),
             "samples_per_ray": 8,
             "warp": "u8-packed corner gather",
-            "serving_config": "whole-frame single dispatch (tile_rays=0)",
+            "serving_config": "whole-frame single dispatch + fused "
+                              "transposed NeRF kernel",
             "repro_cli": "python -m pronerf_tpu.cli infer --use-trt "
-                         "--timing-reps 20 -- --tile_rays 0",
+                         "--timing-reps 20 -- --tile_rays 0 "
+                         "--use_pallas True",
             "analytic_gmacs_per_frame": round(sum(macs.values()) / 1e9, 2),
             "achieved_model_tflops": round(achieved_tflops, 1),
             "device_kind": device_kind,

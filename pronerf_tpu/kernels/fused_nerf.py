@@ -137,110 +137,110 @@ def _mm(w_t, x_t):
     ).astype(w_t.dtype)
 
 
-def _make_kernel(S: int):
-    def _kernel(pts_ref, vcon_ref, expand_ref, *refs):
-        (bx_t,
-         w0p_t, b0,
-         w1_t, b1, w2_t, b2, w3_t, b3, w4_t, b4,
-         w5p_t, w5h_t, b5,
-         w6_t, b6, w7_t, b7,
-         w_alpha_t, b_alpha, w_feat_t, b_feat,
-         wvf_t, bv,
-         w_rgb_t, b_rgb,
-         out_ref) = refs
+def _kernel(pts_ref, vcon_ref, *refs):
+    (bx_t,
+     w0p_t, b0,
+     w1_t, b1, w2_t, b2, w3_t, b3, w4_t, b4,
+     w5p_t, w5h_t, b5,
+     w6_t, b6, w7_t, b7,
+     w_alpha_t, b_alpha, w_feat_t, b_feat,
+     wvf_t, bv,
+     w_rgb_t, b_rgb,
+     out_ref) = refs
 
-        P = pts_ref.shape[1]         # point columns in this block
-        cdt = w1_t.dtype
+    cdt = w1_t.dtype
 
-        x = pts_ref[:].astype(cdt)                       # [3, P]
-        xb = _mm(bx_t[:], x)                             # [30, P]
-        sx = jnp.sin(xb.astype(jnp.float32)).astype(cdt)
-        cx = jnp.cos(xb.astype(jnp.float32)).astype(cdt)
-        pe = jnp.concatenate([x, sx, cx], axis=0)        # [63, P]
+    x = pts_ref[:].reshape(3, -1).astype(cdt)        # [1,3,R] -> [3, R]
+    xb = _mm(bx_t[:], x)                             # [30, R]
+    sx = jnp.sin(xb.astype(jnp.float32)).astype(cdt)
+    cx = jnp.cos(xb.astype(jnp.float32)).astype(cdt)
+    pe = jnp.concatenate([x, sx, cx], axis=0)        # [63, R]
 
-        h = jnp.maximum(_mm(w0p_t[:], pe) + b0[:], 0.0)  # [256, P]
-        h = jnp.maximum(_mm(w1_t[:], h) + b1[:], 0.0)
-        h = jnp.maximum(_mm(w2_t[:], h) + b2[:], 0.0)
-        h = jnp.maximum(_mm(w3_t[:], h) + b3[:], 0.0)
-        h = jnp.maximum(_mm(w4_t[:], h) + b4[:], 0.0)
-        h = jnp.maximum(
-            _mm(w5p_t[:], pe) + _mm(w5h_t[:], h) + b5[:], 0.0
-        )
-        h = jnp.maximum(_mm(w6_t[:], h) + b6[:], 0.0)
-        h = jnp.maximum(_mm(w7_t[:], h) + b7[:], 0.0)
+    h = jnp.maximum(_mm(w0p_t[:], pe) + b0[:], 0.0)  # [256, R]
+    h = jnp.maximum(_mm(w1_t[:], h) + b1[:], 0.0)
+    h = jnp.maximum(_mm(w2_t[:], h) + b2[:], 0.0)
+    h = jnp.maximum(_mm(w3_t[:], h) + b3[:], 0.0)
+    h = jnp.maximum(_mm(w4_t[:], h) + b4[:], 0.0)
+    h = jnp.maximum(
+        _mm(w5p_t[:], pe) + _mm(w5h_t[:], h) + b5[:], 0.0
+    )
+    h = jnp.maximum(_mm(w6_t[:], h) + b6[:], 0.0)
+    h = jnp.maximum(_mm(w7_t[:], h) + b7[:], 0.0)
 
-        sigma = _mm(w_alpha_t[:], h) + b_alpha[:]        # [8, P] (row 0)
-        feat = _mm(w_feat_t[:], h) + b_feat[:]           # [256, P]
+    sigma = _mm(w_alpha_t[:], h) + b_alpha[:]        # [8, R] (row 0)
+    feat = _mm(w_feat_t[:], h) + b_feat[:]           # [256, R]
 
-        # Per-ray -> per-point lane expansion AS A MATMUL: the reshape-
-        # broadcast form crashes Mosaic (lane-dim expansion); the 0/1
-        # expansion matrix E [R, R*S] rides the MXU instead.
-        vcon = vcon_ref[:].astype(cdt)                   # [128, R]
-        vcon_p = _mm(vcon, expand_ref[:])                # [128, P]
-        hv = jnp.maximum(_mm(wvf_t[:], feat) + vcon_p + bv[:], 0.0)
-        rgb = _mm(w_rgb_t[:], hv) + b_rgb[:]             # [8, P] (rows 0:3)
+    # one sample per ray per grid step -> vcon applies directly
+    vcon = vcon_ref[:].astype(cdt)                   # [128, R]
+    hv = jnp.maximum(_mm(wvf_t[:], feat) + vcon + bv[:], 0.0)
+    rgb = _mm(w_rgb_t[:], hv) + b_rgb[:]             # [8, R] (rows 0:3)
 
-        out_ref[:] = jnp.concatenate(
-            [rgb[:3], sigma[:1]], axis=0
-        ).astype(jnp.float32)
-
-    return _kernel
+    out_ref[:] = jnp.concatenate(
+        [rgb[:3], sigma[:1]], axis=0
+    ).astype(jnp.float32)[None]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("rays_per_block", "interpret")
+    jax.jit, static_argnames=("n_samples", "rays_per_block", "interpret")
 )
-def fused_nerf_raw(
+def fused_nerf_raw_t(
     packed,
-    pts,
+    pts24_t,
     vcon_t,
-    rays_per_block: int = 256,
+    n_samples: int = 8,
+    rays_per_block: int = 2048,
     interpret: bool = False,
 ):
     """Fused PE -> NeRF MLP forward (no AD; inference path).
 
+    The grid is 2-D (ray-block, sample): each step runs ONE sample of
+    ``rays_per_block`` rays, so the per-ray view contribution needs no
+    in-kernel expansion and every operand keeps rays on the minor (lane)
+    axis end to end — no relayout copies on either side (measured: the
+    row-major formulation cost ~7 ms/frame in XLA staging).
+
     Args:
       packed: ``pack_nerf_params`` output.
-      pts: [N, S, 3] NDC query points (offsets already applied).
+      pts24_t: [S*3, N] query points, row 3*s + c = coordinate c of
+        sample s (build by stacking 1-D per-ray vectors; offsets applied).
       vcon_t: [128, N] per-ray view-direction contribution, transposed:
         ``(d_pe @ views_w[256:]).T`` (bias excluded — added in-kernel).
+      n_samples: S (static).
 
     Returns: raw [N, S, 4] float32 (rgb logits, sigma) — the same contract
     as ``nerf_mlp_apply``, ready for ``ops.composite``.
     """
-    N, S = pts.shape[0], pts.shape[1]
+    S = n_samples
+    N = pts24_t.shape[1]
     nb = -(-N // rays_per_block)
     padn = nb * rays_per_block - N
     if padn:
-        pts = jnp.pad(pts, ((0, padn), (0, 0), (0, 0)))
+        pts24_t = jnp.pad(pts24_t, ((0, 0), (0, padn)))
         vcon_t = jnp.pad(vcon_t, ((0, 0), (0, padn)))
-    cols = rays_per_block * S
-    # [Np, S, 3] -> [3, P]: points stay the minor axis — layout-neutral.
-    pts_t = pts.reshape(nb * cols, 3).T
-
-    dtype = packed["w1_t"].dtype
-    expand = jnp.asarray(
-        np.kron(np.eye(rays_per_block), np.ones((1, S))), dtype
-    )  # [R, R*S] 0/1 ray->point expansion
+    Np = nb * rays_per_block
+    # [S*3, N] -> [S, 3, N] (same bytes, rays minor) so the per-sample
+    # block (1, 3, R) satisfies Mosaic's trailing-dims constraint.
+    pts_s3 = pts24_t.reshape(S, 3, Np)
 
     weights = [packed[k] for k in _WEIGHT_ORDER]
     full = lambda a: pl.BlockSpec(
-        a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM
+        a.shape, lambda b, s: (0,) * a.ndim, memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
-        _make_kernel(S),
-        grid=(nb,),
+        _kernel,
+        grid=(nb, S),
         in_specs=[
-            pl.BlockSpec((3, cols), lambda i: (0, i),
+            pl.BlockSpec((1, 3, rays_per_block), lambda b, s: (s, 0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((W_HALF, rays_per_block), lambda i: (0, i),
+            pl.BlockSpec((W_HALF, rays_per_block), lambda b, s: (0, b),
                          memory_space=pltpu.VMEM),
-            full(expand),
         ] + [full(w) for w in weights],
-        out_specs=pl.BlockSpec((4, cols), lambda i: (0, i),
+        out_specs=pl.BlockSpec((1, 4, rays_per_block),
+                               lambda b, s: (s, 0, b),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((4, nb * cols), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((S, 4, Np), jnp.float32),
         interpret=interpret,
-    )(pts_t, vcon_t, expand, *weights)
+    )(pts_s3, vcon_t, *weights)
 
-    return out.T.reshape(nb * rays_per_block, S, 4)[:N]
+    # [S, 4, Np] -> [N, S, 4]; rays stay minor throughout.
+    return out.transpose(2, 0, 1)[:N]

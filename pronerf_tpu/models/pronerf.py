@@ -83,9 +83,9 @@ class RenderStatics:
     offset_scale: float = 1e-2
     compute_dtype: Optional[str] = None  # 'bfloat16' for the inference path
     use_pallas: bool = False  # fused PE->NeRF->composite kernel (inference)
-    pallas_block_rays: int = 256  # rays per fused-kernel grid step; >= 384
-                                  # at frame-scale grids crashes the Mosaic
-                                  # compiler (2026-08 TPU v5e toolchain)
+    pallas_block_rays: int = 2048  # ray columns per fused-kernel grid step
+                                   # (one sample per step; 2048 lanes is
+                                   # the measured sweet spot on v5e)
     netarch: str = "nerf"     # radiance-field family: 'nerf' | 'donerf'
 
     # -- factories reproducing the reference's behavior matrix ------------
@@ -369,7 +369,7 @@ def render_rays(params, rays, scene, controls, statics: RenderStatics):
         # stay in XLA (lane-sliver ops are VPU-hostile in-kernel). No AD
         # through pallas_call — inference graphs only.
         from pronerf_tpu.kernels.fused_nerf import (
-            fused_nerf_raw,
+            fused_nerf_raw_t,
             pack_nerf_params,
         )
 
@@ -387,8 +387,23 @@ def render_rays(params, rays, scene, controls, statics: RenderStatics):
             dimension_numbers=(((0,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [128, N]
-        raw = fused_nerf_raw(
-            packed, query_pts, vcon_t,
+        # Build the [S*3, N] transposed query points from 1-D per-ray
+        # vectors (no [N, S, 3] intermediate -> no relayout staging
+        # around the kernel; see fused_nerf_raw_t).
+        n_s = z_vals.shape[-1]
+        po = refine_out[:, S: 4 * S]  # [N, 3S], [n, 3s + c] layout
+        rows24 = []
+        for s_i in range(n_s):
+            for c_i in range(3):
+                row = ndc_o[:, c_i] + ndc_d[:, c_i] * z_vals[:, s_i]
+                if statics.add_offsets:
+                    row = row + statics.offset_scale * jnp.tanh(
+                        po[:, 3 * s_i + c_i]
+                    )
+                rows24.append(row)
+        pts24_t = jnp.stack(rows24, axis=0)
+        raw = fused_nerf_raw_t(
+            packed, pts24_t, vcon_t, n_samples=n_s,
             rays_per_block=statics.pallas_block_rays,
             interpret=jax.default_backend() != "tpu",
         )

@@ -93,12 +93,13 @@ def main():
             "frame_whole_xla", inf, N, True),
         "frame_t16384_xla": lambda: frame_variant(
             "frame_t16384_xla", inf, 16384, True),
-        # NOTE: >= 3072 point rows per block crashes the Mosaic compiler
-        # (2026-08 v5e toolchain); 256 rays = 2048 rows is the proven size.
-        "frame_whole_pallas_b128": lambda: frame_variant(
-            "frame_whole_pallas_b128", infp(128), N, True),
-        "frame_whole_pallas_b256": lambda: frame_variant(
-            "frame_whole_pallas_b256", infp(256), N, True),
+        # block = ray COLUMNS per grid step (one sample per step)
+        "frame_whole_pallas_b1024": lambda: frame_variant(
+            "frame_whole_pallas_b1024", infp(1024), N, True),
+        "frame_whole_pallas_b2048": lambda: frame_variant(
+            "frame_whole_pallas_b2048", infp(2048), N, True),
+        "frame_whole_pallas_b4096": lambda: frame_variant(
+            "frame_whole_pallas_b4096", infp(4096), N, True),
     }
     for v in VARIANTS:
         table[v]()

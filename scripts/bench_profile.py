@@ -136,7 +136,7 @@ def main():
     timed("pe_plus_nerf_mlp_xla", nerf_xla, jnp.float32(0))
 
     from pronerf_tpu.kernels.fused_nerf import (
-        fused_nerf_raw,
+        fused_nerf_raw_t,
         pack_nerf_params,
     )
     from pronerf_tpu.ops.encoding import positional_encoding as pe
@@ -146,12 +146,15 @@ def main():
     vc = jnp.asarray(
         (np.asarray(pe(vd, 4)) @ np.asarray(wv)).T, jnp.float32
     )
+    qp24_t = jnp.transpose(qp.reshape(N, S * 3))
 
-    for br in (128, 256):
+    for br in (1024, 2048):
         def fk(c, br=br):
-            raw = fused_nerf_raw(packed, vary(qp, c), vc, rays_per_block=br)
+            raw = fused_nerf_raw_t(
+                packed, vary(qp24_t, c), vc, rays_per_block=br
+            )
             return c + raw[0, 0, 0] * 1e-12
-        timed(f"fused_nerf_raw_b{br}", fk, jnp.float32(0))
+        timed(f"fused_nerf_raw_t_b{br}", fk, jnp.float32(0))
 
     # --- whole-frame variants ---
     def frame_variant(name, statics, tile_rays, unroll):

@@ -19,7 +19,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from pronerf_tpu.kernels.fused_nerf import fused_nerf_raw, pack_nerf_params
+    from pronerf_tpu.kernels.fused_nerf import (
+        fused_nerf_raw_t,
+        pack_nerf_params,
+    )
     from pronerf_tpu.models import init_pronerf_params
     from pronerf_tpu.models.mlp import nerf_mlp_apply
     from pronerf_tpu.ops.encoding import positional_encoding
@@ -34,6 +37,7 @@ def main():
     vd = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True)
     wv = jnp.asarray(params["nerf"]["views"]["w"])[256:]
     vc = jnp.asarray((positional_encoding(vd, 4) @ wv).T, jnp.float32)
+    qp24_t = jnp.transpose(qp.reshape(N, S * 3))
 
     def null_ms(reps=5):
         f0 = jax.jit(lambda x: x + 1.0)
@@ -79,11 +83,11 @@ def main():
 
             @jax.jit
             def v2(c, rpb=rpb):
-                raw = fused_nerf_raw(
-                    packed, qp + c * 1e-30, vc, rays_per_block=rpb
+                raw = fused_nerf_raw_t(
+                    packed, qp24_t + c * 1e-30, vc, rays_per_block=rpb
                 )
                 return raw[0, 0, 0]
-            timed(f"fused_raw_{tag}", v2)
+            timed(f"fused_raw_t_{tag}", v2)
 
 
 if __name__ == "__main__":

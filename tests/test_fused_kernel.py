@@ -1,17 +1,18 @@
 """Pallas fused (PE -> NeRF MLP) kernel vs the XLA forward, in interpreter
-mode on CPU. The kernel returns raw [N, S, 4] with the nerf_mlp_apply
-contract; compositing happens in the shared ``ops.composite``."""
+mode on CPU. The kernel runs transposed (rays on lanes, one sample per grid
+step) and returns raw [N, S, 4] with the nerf_mlp_apply contract;
+compositing happens in the shared ``ops.composite``."""
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from pronerf_tpu.kernels import fused_nerf_raw, pack_nerf_params
+from pronerf_tpu.kernels import fused_nerf_raw_t, pack_nerf_params
 from pronerf_tpu.models.mlp import init_nerf_mlp, nerf_mlp_apply
 from pronerf_tpu.ops.encoding import positional_encoding
 
 
-def _vcon(params, dirs, dtype):
+def _vcon_t(params, dirs, dtype):
     d_pe = positional_encoding(dirs, 4)
     wv = jnp.asarray(params["views"]["w"])[256:]
     return jax.lax.dot_general(
@@ -19,6 +20,12 @@ def _vcon(params, dirs, dtype):
         dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [128, N]
+
+
+def _pts24_t(pts):
+    """[N, S, 3] -> [S*3, N] with row 3*s + c = coord c of sample s."""
+    N, S, _ = pts.shape
+    return jnp.transpose(pts.reshape(N, S * 3))
 
 
 def _reference(params, pts, dirs):
@@ -41,8 +48,8 @@ def test_fused_raw_matches_reference_f32():
     params = init_nerf_mlp(jax.random.PRNGKey(1))
     pts, dirs = _inputs()
     packed = pack_nerf_params(params, dtype=jnp.float32)
-    raw = fused_nerf_raw(
-        packed, pts, _vcon(params, dirs, jnp.float32),
+    raw = fused_nerf_raw_t(
+        packed, _pts24_t(pts), _vcon_t(params, dirs, jnp.float32),
         rays_per_block=32, interpret=True,
     )
     ref = _reference(params, pts, dirs)
@@ -53,8 +60,8 @@ def test_fused_raw_bf16_close():
     params = init_nerf_mlp(jax.random.PRNGKey(2))
     pts, dirs = _inputs(seed=3)
     packed = pack_nerf_params(params)  # bf16
-    raw = fused_nerf_raw(
-        packed, pts, _vcon(params, dirs, jnp.bfloat16),
+    raw = fused_nerf_raw_t(
+        packed, _pts24_t(pts), _vcon_t(params, dirs, jnp.bfloat16),
         rays_per_block=32, interpret=True,
     )
     ref = _reference(params, pts, dirs)
@@ -67,10 +74,11 @@ def test_fused_raw_padding():
     params = init_nerf_mlp(jax.random.PRNGKey(1))
     pts, dirs = _inputs(n=50)
     packed = pack_nerf_params(params, dtype=jnp.float32)
-    vc = _vcon(params, dirs, jnp.float32)
-    raw = fused_nerf_raw(packed, pts, vc, rays_per_block=32, interpret=True)
+    vc = _vcon_t(params, dirs, jnp.float32)
+    p24 = _pts24_t(pts)
+    raw = fused_nerf_raw_t(packed, p24, vc, rays_per_block=32, interpret=True)
     assert raw.shape == (50, 8, 4)
-    big = fused_nerf_raw(packed, pts, vc, rays_per_block=64, interpret=True)
+    big = fused_nerf_raw_t(packed, p24, vc, rays_per_block=64, interpret=True)
     np.testing.assert_allclose(np.asarray(raw), np.asarray(big), atol=1e-5)
 
 
@@ -92,7 +100,8 @@ def test_pipeline_pallas_path_matches_xla():
     }
     plain = render_rays(params, rays, scene, controls, RenderStatics.infer())
     fused = render_rays(
-        params, rays, scene, controls, RenderStatics.infer(use_pallas=True)
+        params, rays, scene, controls,
+        RenderStatics.infer(use_pallas=True, pallas_block_rays=128),
     )
     np.testing.assert_allclose(
         np.asarray(fused["rgb1"]), np.asarray(plain["rgb1"]), atol=5e-5
@@ -100,7 +109,6 @@ def test_pipeline_pallas_path_matches_xla():
     np.testing.assert_allclose(
         np.asarray(fused["depth"]), np.asarray(plain["depth"]), atol=5e-4
     )
-    # the fused path reports the full composite dict (weights, sigma, acc)
     np.testing.assert_allclose(
         np.asarray(fused["weights"]), np.asarray(plain["weights"]), atol=5e-5
     )

@@ -5,3 +5,4 @@ from pronerf_tpu.parallel.data_parallel import (
     shard_batch,
     replicate,
 )
+from pronerf_tpu.parallel.render_parallel import make_sharded_frame_renderer

@@ -138,3 +138,30 @@ def test_multi_scene_training_step():
     # scenes differ -> losses differ
     assert len(set(np.round(losses, 6).tolist())) > 1
     assert int(np.asarray(states_s["global_step"])[0]) == 1
+
+
+def test_sharded_frame_renderer_matches_single_device():
+    """Serving SPMD: the ray-sharded whole-frame render must equal the
+    single-device renderer (deterministic inference graph, replicated
+    scene/params -> identical neighbor selection per shard)."""
+    from pronerf_tpu.models import RenderStatics
+    from pronerf_tpu.parallel import make_sharded_frame_renderer
+    from pronerf_tpu.render.renderer import make_frame_renderer
+
+    sc = make_scene(n_views=6, H=20, W=24, seed=0)
+    H, W, _ = sc["hwf"]
+    scene = prepare_scene(sc["images"], sc["poses"], sc["K"])
+    params = init_pronerf_params(jax.random.PRNGKey(0))
+    statics = RenderStatics.infer()
+    mesh = make_ray_mesh()
+
+    single = make_frame_renderer(statics, H, W, sc["K"], tile_rays=0)
+    sharded = make_sharded_frame_renderer(statics, H, W, sc["K"], mesh)
+
+    c2w = jnp.asarray(sc["poses"][1])
+    a = single(params, scene, c2w)
+    b = sharded(params, scene, c2w)
+    for k in ("rgb1", "rgb0", "depth"):
+        np.testing.assert_allclose(
+            np.asarray(a[k]), np.asarray(b[k]), atol=2e-6
+        )

@@ -265,7 +265,27 @@ def render_rays(params, rays, scene, controls, statics: RenderStatics):
     # [d_hat, m] 6-vector; the serving path folds the tiling into the
     # first-layer weights instead of materializing [N, 288].
     fold_mm = cdt is not None and not statics.mmnetskips
-    if fold_mm:
+    mm_kernel = fold_mm and statics.use_pallas
+    if mm_kernel:
+        from pronerf_tpu.kernels.fused_minmax import (
+            fused_minmax_t,
+            pack_minmax_params,
+        )
+
+        kdt_mm = jnp.bfloat16 if cdt is not None else jnp.float32
+        interp = jax.default_backend() != "tpu"
+        sig = plucker(ndc_o, ndc_d)  # [N, 6]
+        sig_t = sig.T
+        packed_s = params.get("sampler_packed")
+        if packed_s is None:
+            packed_s = pack_minmax_params(
+                params["sampler"], statics.N_point_ray_enc, kdt_mm
+            )
+        mm_out = fused_minmax_t(
+            packed_s, sig_t, rays_per_block=statics.pallas_block_rays,
+            interpret=interp,
+        )[:, : 3 * S + 3]
+    elif fold_mm:
         sig = plucker(ndc_o, ndc_d)  # [N, 6]
         mm_out = minmax_mlp_apply_folded(
             params["sampler"], sig, statics.N_point_ray_enc, None, cdt
@@ -320,7 +340,15 @@ def render_rays(params, rays, scene, controls, statics: RenderStatics):
     # 4. Refine net on [Pluecker(candidates) || warped colors]. Same
     # collinearity fold as the sampler: the 8 candidate points share one
     # Pluecker signature.
-    if fold_mm:
+    if mm_kernel:
+        packed_r = params.get("refine_packed")
+        if packed_r is None:
+            packed_r = pack_minmax_params(params["refine"], S, kdt_mm)
+        refine_out = fused_minmax_t(
+            packed_r, jnp.concatenate([sig_t, epi_flat.T], axis=0),
+            rays_per_block=statics.pallas_block_rays, interpret=interp,
+        )[:, : 4 * S + 3]
+    elif fold_mm:
         refine_out = minmax_mlp_apply_folded(
             params["refine"], sig, S, epi_flat, cdt
         )

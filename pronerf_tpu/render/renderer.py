@@ -66,17 +66,25 @@ def make_frame_renderer(
     def render_frame(params, scene, c2w):
         if statics.use_pallas and "nerf_packed" not in params:
             # pack once, outside the tile loop
+            from pronerf_tpu.kernels.fused_minmax import pack_minmax_params
             from pronerf_tpu.kernels.fused_nerf import pack_nerf_params
             import jax.numpy as _jnp
 
+            pdt = (
+                _jnp.bfloat16 if statics.compute_dtype == "bfloat16"
+                else _jnp.float32
+            )
             params = dict(
                 params,
-                nerf_packed=pack_nerf_params(
-                    params["nerf"],
-                    _jnp.bfloat16 if statics.compute_dtype == "bfloat16"
-                    else _jnp.float32,
-                ),
+                nerf_packed=pack_nerf_params(params["nerf"], pdt),
             )
+            if statics.compute_dtype == "bfloat16" and not statics.mmnetskips:
+                params["sampler_packed"] = pack_minmax_params(
+                    params["sampler"], statics.N_point_ray_enc, pdt
+                )
+                params["refine_packed"] = pack_minmax_params(
+                    params["refine"], statics.N_samples, pdt
+                )
         rays = rays_for_pose(H, W, K, c2w)
         tiled, n = _pad_and_tile(rays, tile_rays)
         controls = {

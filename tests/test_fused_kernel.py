@@ -112,3 +112,70 @@ def test_pipeline_pallas_path_matches_xla():
     np.testing.assert_allclose(
         np.asarray(fused["weights"]), np.asarray(plain["weights"]), atol=5e-5
     )
+
+
+def test_fused_minmax_matches_folded():
+    """Transposed MinMax kernel == the folded XLA forward (interpret)."""
+    from pronerf_tpu.kernels.fused_minmax import (
+        fused_minmax_t,
+        pack_minmax_params,
+    )
+    from pronerf_tpu.models.mlp import (
+        init_minmax_mlp,
+        minmax_mlp_apply_folded,
+    )
+
+    key = jax.random.PRNGKey(0)
+    # sampler shape: in 6*48, out 27; refine shape: in 48+96, out 35
+    for reps, rest, out_w in ((48, 0, 27), (8, 96, 35)):
+        p = init_minmax_mlp(key, 6, 256, 6 * reps + rest, out_w)
+        n = 70
+        x_rep = jax.random.normal(jax.random.PRNGKey(1), (n, 6))
+        x_rest = (
+            jax.random.normal(jax.random.PRNGKey(2), (n, rest))
+            if rest else None
+        )
+        ref = minmax_mlp_apply_folded(p, x_rep, reps, x_rest, jnp.float32)
+        packed = pack_minmax_params(p, reps, jnp.float32)
+        x_t = x_rep.T if x_rest is None else jnp.concatenate(
+            [x_rep.T, x_rest.T], axis=0
+        )
+        got = fused_minmax_t(packed, x_t, rays_per_block=32,
+                             interpret=True)[:, :out_w]
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-5
+        )
+
+
+def test_pipeline_pallas_bf16_close_to_xla_bf16():
+    """The full serving config (bf16 + all three fused kernels) must track
+    the bf16 XLA path."""
+    from pronerf_tpu.models import init_pronerf_params, render_rays, RenderStatics
+    from pronerf_tpu.render import prepare_scene
+    from pronerf_tpu.render.raygen import rays_for_pose
+    from pronerf_tpu.utils.synthetic import make_scene
+
+    sc = make_scene(n_views=5, H=16, W=20, seed=0)
+    H, W, _ = sc["hwf"]
+    scene = prepare_scene(sc["images"], sc["poses"], sc["K"])
+    params = init_pronerf_params(jax.random.PRNGKey(0))
+    rays = rays_for_pose(H, W, sc["K"], sc["poses"][1])
+    controls = {
+        "rng": jax.random.PRNGKey(0),
+        "target_t": jnp.asarray(sc["poses"][1][:3, 3]),
+    }
+    xla = render_rays(
+        params, rays, scene, controls,
+        RenderStatics.infer(compute_dtype="bfloat16"),
+    )
+    fused = render_rays(
+        params, rays, scene, controls,
+        RenderStatics.infer(compute_dtype="bfloat16", use_pallas=True,
+                            pallas_block_rays=128),
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused["rgb1"]), np.asarray(xla["rgb1"]), atol=0.02
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused["depth"]), np.asarray(xla["depth"]), atol=0.02
+    )

@@ -29,7 +29,6 @@ depends on shapes, not pixel values.
 from __future__ import annotations
 
 import json
-import time
 
 import numpy as np
 
@@ -52,19 +51,9 @@ def _peak_tflops(device_kind: str):
 
 
 def _null_ms(reps: int = 5) -> float:
-    import jax
-    import jax.numpy as jnp
+    from pronerf_tpu.utils.profiling import null_dispatch_ms
 
-    from pronerf_tpu.utils.profiling import readback
-
-    f0 = jax.jit(lambda x: x + 1.0)
-    readback(f0(jnp.zeros(())))
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        readback(f0(jnp.zeros(())))
-        times.append((time.perf_counter() - t0) * 1e3)
-    return float(np.median(times))
+    return null_dispatch_ms(reps)
 
 
 def run_bench(H=378, W=504, frames_per_loop=6, reps=4):

@@ -57,7 +57,7 @@ def _parse_extra(extra: list[str]) -> dict:
     return out
 
 
-def _build_cfg(args, default_config) -> Config:
+def _build_cfg(args, default_config, serving: bool = False) -> Config:
     overrides = _parse_extra(getattr(args, "extra", []))
     for name in ("max_steps", "no_reload", "pretrain_path", "render_test",
                  "use_trt", "max_images", "synthetic"):
@@ -71,7 +71,23 @@ def _build_cfg(args, default_config) -> Config:
     ckpt = getattr(args, "checkpoint", None)
     if ckpt:
         overrides["ft_path"] = ckpt
-    return Config.from_file(args.config or default_config, **overrides)
+    cfg = Config.from_file(args.config or default_config, **overrides)
+    if serving and cfg.use_trt:
+        # `--use-trt` means "the accelerated serving path" — default to the
+        # ACTUAL serving graph (whole-frame single dispatch + fused Pallas
+        # kernels) instead of requiring two passthrough flags. Explicit
+        # `-- --tile_rays/--use_pallas` overrides still win.
+        applied = []
+        if "tile_rays" not in overrides:
+            cfg = cfg.replace(tile_rays=0)
+            applied.append("tile_rays=0")
+        if "use_pallas" not in overrides:
+            cfg = cfg.replace(use_pallas=True)
+            applied.append("use_pallas=True")
+        if applied:
+            print(f"[SERVING] --use-trt defaults: {' '.join(applied)} "
+                  "(override via `-- --tile_rays N --use_pallas False`)")
+    return cfg
 
 
 def cmd_train_stage1(args):
@@ -98,7 +114,8 @@ def cmd_infer(args):
     from pronerf_tpu.render.infer import run_inference
 
     run_inference(
-        _build_cfg(args, DEFAULT_TRT_CONFIG), timing_reps=args.timing_reps
+        _build_cfg(args, DEFAULT_TRT_CONFIG, serving=True),
+        timing_reps=args.timing_reps,
     )
 
 
@@ -110,18 +127,23 @@ def cmd_eval(args):
 def cmd_train_multi(args):
     from pronerf_tpu.train.multi_loop import run_multi_training
 
-    cfg = _build_cfg(args, DEFAULT_STAGE1_CONFIG)
+    default = (
+        DEFAULT_STAGE2_CONFIG if args.stage == 2 else DEFAULT_STAGE1_CONFIG
+    )
+    cfg = _build_cfg(args, default)
     datadirs = args.scenes.split(",") if args.scenes else [
         f"synthetic{i}" for i in range(args.n_synthetic)
     ]
-    run_multi_training(cfg, datadirs, n_ray_shards=args.ray_shards)
+    run_multi_training(
+        cfg, datadirs, n_ray_shards=args.ray_shards, stage=args.stage
+    )
 
 
 def cmd_render_path(args):
     from pronerf_tpu.render.infer import run_render_path
 
     run_render_path(
-        _build_cfg(args, DEFAULT_TRT_CONFIG),
+        _build_cfg(args, DEFAULT_TRT_CONFIG, serving=True),
         n_frames=args.n_frames, fps=args.fps,
     )
 
@@ -133,7 +155,7 @@ def cmd_export(args):
         print("--onnx-only: note — this framework exports one AOT XLA "
               "executable; there is no intermediate ONNX stage.")
     run_export(
-        _build_cfg(args, DEFAULT_TRT_CONFIG),
+        _build_cfg(args, DEFAULT_TRT_CONFIG, serving=True),
         height=args.height, width=args.width,
     )
 
@@ -196,9 +218,14 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser(
         "train-multi",
-        help="stage-1 training of several scenes in one SPMD program",
+        help="training of several scenes in one SPMD program",
     )
     p.add_argument("--config", default=None)
+    p.add_argument("--stage", type=int, default=1, choices=(1, 2),
+                   help="1 = alternating stage-1, 2 = joint stage-2")
+    p.add_argument("--pretrain-path", default=None, dest="pretrain_path",
+                   help="stage-2: stage-1 multi expdir holding per-scene "
+                        "scene_{name} checkpoints")
     p.add_argument("--scenes", default=None,
                    help="comma-separated datadirs (same resolution)")
     p.add_argument("--n-synthetic", type=int, default=2, dest="n_synthetic",
@@ -236,8 +263,37 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def enable_compilation_cache():
+    """Persistent XLA compilation cache: the serving analogue of TRT engine
+    deserialization (``trt_infer_v2.py:149-165`` loads machine code in
+    seconds; without this every process re-compiles the whole-frame graph,
+    minutes for the Pallas serving config). Cache dir defaults to
+    ``~/.cache/pronerf_tpu/xla``; override with ``PRONERF_XLA_CACHE=<dir>``
+    or disable with ``PRONERF_XLA_CACHE=off``."""
+    import os
+
+    cache = os.environ.get(
+        "PRONERF_XLA_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "pronerf_tpu", "xla"),
+    )
+    if cache.lower() in ("", "off", "none", "0"):
+        return None
+    try:
+        import jax
+
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        return cache
+    except Exception as exc:  # cache is an optimization, never fatal
+        print(f"[CACHE] persistent compilation cache unavailable: {exc}")
+        return None
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    enable_compilation_cache()
     args.func(args)
 
 

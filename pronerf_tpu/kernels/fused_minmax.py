@@ -34,19 +34,22 @@ def _pad8(n: int) -> int:
     return -(-n // 8) * 8
 
 
-def pack_minmax_params(params, reps: int, dtype=jnp.bfloat16):
+def pack_minmax_params(params, reps: int, dtype=jnp.bfloat16, c_rep: int = 6):
     """Transposed kernel panels for a no-skip MinMax net whose first
-    ``reps * C_rep`` input rows are an exact tiling (C_rep inferred from
-    the weight shape and ``x_rest`` width at call time).
+    ``reps * c_rep`` input rows are an exact tiling.
 
     Args:
       params: {'layers': [{'w', 'b'} x D], 'out': {'w', 'b'}}.
       reps: tile count of the repeated leading block (48 sampler, 8 refine).
+      c_rep: width of the repeated block — 6 (Pluecker [d, m]) for both
+        ProNeRF call sites; pass explicitly for any other encoding.
     """
-    w0 = jnp.asarray(params["layers"][0]["w"])  # [reps*C + rest, 256]
+    w0 = jnp.asarray(params["layers"][0]["w"])  # [reps*c_rep + rest, 256]
+    assert w0.shape[0] >= reps * c_rep, (
+        f"first layer has {w0.shape[0]} input rows < reps*c_rep = "
+        f"{reps * c_rep}; wrong reps/c_rep for this net"
+    )
     n_out = params["out"]["w"].shape[1]
-    # fold: the repeated block is Pluecker's 6 channels
-    c_rep = 6
     w_rep = w0[: reps * c_rep].reshape(reps, c_rep, -1).sum(0)
     w0_eff = jnp.concatenate([w_rep, w0[reps * c_rep:]], axis=0)
 

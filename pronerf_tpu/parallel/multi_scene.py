@@ -51,19 +51,31 @@ def make_multi_scene_step(cfg, H: int, W: int, focal: float, mesh: Mesh,
     """Jitted (states, scenes, batches, ids, controls, lr) -> (states,
     metrics) where every arg has a leading scene axis. ``controls`` is
     shared across scenes (one host draw per step, like single-scene
-    training)."""
+    training) EXCEPT the PRNG key: the scene index is folded in so noise /
+    jitter draws decorrelate across scenes the way independent runs would
+    (the neighbor-subset positions stay shared — a documented choice)."""
     if stage == 1:
         nerf_fn, sampler_fn = build_stage1_step_fns(cfg, H, W, focal)
         step_fn = nerf_fn if branch == "nerf" else sampler_fn
     else:
         step_fn = build_stage2_step_fn(cfg, H, W, focal)
 
-    vstep = jax.vmap(step_fn, in_axes=(0, 0, 0, 0, None, None))
+    def step_scene(state, scene, batch, ids, scene_idx, controls, lr):
+        controls = dict(
+            controls, rng=jax.random.fold_in(controls["rng"], scene_idx)
+        )
+        return step_fn(state, scene, batch, ids, controls, lr)
+
+    vstep = jax.vmap(step_scene, in_axes=(0, 0, 0, 0, 0, None, None))
+
+    def stepped(states, scenes, batch, ids, controls, lr):
+        idxs = jax.numpy.arange(batch.shape[0], dtype=jax.numpy.int32)
+        return vstep(states, scenes, batch, ids, idxs, controls, lr)
 
     scene_first, scene_rays = _shardings(mesh)
     repl = NamedSharding(mesh, P())
     return jax.jit(
-        vstep,
+        stepped,
         in_shardings=(scene_first, scene_first, scene_rays, scene_rays,
                       repl, repl),
         out_shardings=(scene_first, scene_first),

@@ -11,8 +11,8 @@ output maps back to the frame grid.
 
 Deterministic neighbor selection (``_nearest_views``) depends only on the
 replicated scene + target pose, so every shard picks identical source
-views and the result is bitwise shard-count independent (asserted in
-``tests/test_parallel.py``).
+views and the result is numerically shard-count independent (asserted to
+atol=2e-6 in ``tests/test_parallel.py``).
 """
 
 from __future__ import annotations
@@ -61,17 +61,9 @@ def make_sharded_frame_renderer(
     )
 
     def render_frame(params, scene, c2w):
-        if statics.use_pallas and "nerf_packed" not in params:
-            from pronerf_tpu.kernels.fused_nerf import pack_nerf_params
+        from pronerf_tpu.kernels.packing import pack_serving_params
 
-            params = dict(
-                params,
-                nerf_packed=pack_nerf_params(
-                    params["nerf"],
-                    jnp.bfloat16 if statics.compute_dtype == "bfloat16"
-                    else jnp.float32,
-                ),
-            )
+        params = pack_serving_params(params, statics)
         rays = rays_for_pose(H, W, K, c2w)
         rays = {
             k: jnp.pad(v, [(0, n_pad - n)] + [(0, 0)] * (v.ndim - 1))

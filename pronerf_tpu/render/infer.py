@@ -141,10 +141,35 @@ def run_inference(cfg: Config, timing_reps: int = 0):
         print(f"Mean Test LPIPS {float(np.mean(lpipss))}")
     result["ssims"] = ssims
     result["lpips"] = lpipss
+
+    # Analytic MACs report (surface parity with the reference's ptflops
+    # print, ``run_S_eS_eN_alter_trt.py:320-344``: per-net sampler+refine
+    # MACs and ``Total flops:`` = 2x their sum).
+    from pronerf_tpu.utils.profiling import pipeline_macs
+
+    rf = max(1, cfg.render_factor)
+    macs = pipeline_macs(
+        data["H"] // rf, data["W"] // rf,
+        N_samples=cfg.N_samples, N_point_ray_enc=cfg.N_point_ray_enc,
+        num_neighbor=cfg.num_neighbor, netwidth=cfg.netwidth,
+        mmnetwidth=cfg.mmnetwidth, mmnetdepth=cfg.mmnetdepth,
+    )
+    print("min_max_ray_net", macs["sampler"])
+    print("refine_net", macs["refine"])
+    print("Total flops:", 2 * (macs["sampler"] + macs["refine"]))
+    print(f"(full pipeline incl. NeRF: "
+          f"{2 * sum(macs.values()) / 1e9:.2f} GFLOPs/frame)")
+    result["macs"] = macs
+
     if result["times_ms"]:
         ms = float(np.median(result["times_ms"]))
-        print(f"Median render ms/frame: {ms:.3f} "
-              f"({data['H'] * data['W'] / ms * 1e3 / 1e6:.2f} Mrays/s)")
+        print(f"Median per-dispatch ms/frame (readback-synced, incl. "
+              f"~{result['null_ms']:.0f} ms dispatch floor): {ms:.3f}")
+    if result.get("amortized_ms"):
+        ams = result["amortized_ms"]
+        print(f"Median render ms/frame: {ams:.3f} "
+              f"({data['H'] * data['W'] / rf / rf / ams * 1e3 / 1e6:.2f} "
+              f"Mrays/s, steady-state)")
     return result
 
 
@@ -214,15 +239,31 @@ def run_inference_from_export(cfg: Config, export_dir, timing_reps: int = 0):
     psnrs, times_ms = [], []
     import imageio.v2 as imageio
 
+    from pronerf_tpu.utils.profiling import null_dispatch_ms, readback
+
+    null_ms = null_dispatch_ms() if timing_reps > 0 else None
     for k, idx in enumerate(np.asarray(i_test)):
         c2w = jnp.asarray(data["poses"][idx][:3, :4])
-        out = jax.block_until_ready(call(params, scene, c2w))
+        out = call(params, scene, c2w)
+        readback(out["rgb1"])  # true sync (block_until_ready lies on axon)
         for _ in range(timing_reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(call(params, scene, c2w))
+            readback(call(params, scene, c2w)["rgb1"])
             ms = (time.perf_counter() - t0) * 1e3
             times_ms.append(ms)
             print(f"Render path time: {ms:.3f}")
+        if timing_reps > 0 and k == 0:
+            # The deserialized executable cannot be traced into a scan, so
+            # steady-state is approximated by PIPELINING: queue reps async
+            # dispatches, sync once, divide (dispatch overlaps compute).
+            reps = max(2, timing_reps)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                last = call(params, scene, c2w)
+            readback(last["rgb1"])
+            pipelined = ((time.perf_counter() - t0) * 1e3 - null_ms) / reps
+            print(f"Pipelined render ms/frame (x{reps} async minus "
+                  f"{null_ms:.1f} ms null dispatch): {pipelined:.3f}")
         rgb1 = np.asarray(out["rgb1"])
         imageio.imwrite(savedir / f"{k:03d}.png", to8b(rgb1))
         if same_res:

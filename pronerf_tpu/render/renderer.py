@@ -64,27 +64,10 @@ def make_frame_renderer(
         tile_rays, unroll = H * W, True
 
     def render_frame(params, scene, c2w):
-        if statics.use_pallas and "nerf_packed" not in params:
-            # pack once, outside the tile loop
-            from pronerf_tpu.kernels.fused_minmax import pack_minmax_params
-            from pronerf_tpu.kernels.fused_nerf import pack_nerf_params
-            import jax.numpy as _jnp
+        # pack once, outside the tile loop
+        from pronerf_tpu.kernels.packing import pack_serving_params
 
-            pdt = (
-                _jnp.bfloat16 if statics.compute_dtype == "bfloat16"
-                else _jnp.float32
-            )
-            params = dict(
-                params,
-                nerf_packed=pack_nerf_params(params["nerf"], pdt),
-            )
-            if statics.compute_dtype == "bfloat16" and not statics.mmnetskips:
-                params["sampler_packed"] = pack_minmax_params(
-                    params["sampler"], statics.N_point_ray_enc, pdt
-                )
-                params["refine_packed"] = pack_minmax_params(
-                    params["refine"], statics.N_samples, pdt
-                )
+        params = pack_serving_params(params, statics)
         rays = rays_for_pose(H, W, K, c2w)
         tiled, n = _pad_and_tile(rays, tile_rays)
         controls = {
@@ -145,12 +128,21 @@ def render_path(
     and mean test PSNR for both the NeRF output (rgb1) and the refine-net
     output (rgb0).
 
-    ``timing_reps > 0`` re-renders each pose that many times around
-    block_until_ready timers and prints ``Render path time:`` in ms —
-    the reference's CUDA-event benchmark protocol
-    (``run_S_eS_eN_alter_trt.py:326-332``).
+    ``timing_reps > 0`` re-renders each pose that many times and prints
+    ``Render path time:`` per rep — the reference's 20x benchmark protocol
+    (``run_S_eS_eN_alter_trt.py:326-332``). Timing is READBACK-synced, not
+    ``block_until_ready`` (which returns early on the tunneled axon
+    backend, see utils/profiling.py), and a steady-state ms/frame is also
+    measured once by amortizing a ``lax.scan`` of frame renders inside one
+    dispatch minus the measured null-dispatch floor — the same protocol as
+    ``bench.py``, so the CLI reproduces the headline number.
     """
     from pronerf_tpu.ops.metrics import to8b
+    from pronerf_tpu.utils.profiling import (
+        amortized_timer,
+        null_dispatch_ms,
+        readback,
+    )
 
     if render_factor != 0:
         H, W = H // render_factor, W // render_factor
@@ -159,17 +151,38 @@ def render_path(
 
     renderer = make_frame_renderer(statics, H, W, K, tile_rays)
     rgbs0, rgbs1, depths, psnrs, psnrs0, times_ms = [], [], [], [], [], []
+    null_ms = amortized_ms = None
 
     for i, c2w in enumerate(np.asarray(render_poses)):
         c2w = jnp.asarray(c2w[:3, :4])
-        out = jax.block_until_ready(renderer(params, scene, c2w))
+        out = renderer(params, scene, c2w)
+        readback(out["rgb1"])  # true sync (block_until_ready lies on axon)
         if timing_reps > 0:
+            if null_ms is None:
+                null_ms = null_dispatch_ms()
             for _ in range(timing_reps):
                 t0 = time.perf_counter()
-                jax.block_until_ready(renderer(params, scene, c2w))
+                readback(renderer(params, scene, c2w)["rgb1"])
                 ms = (time.perf_counter() - t0) * 1e3
                 times_ms.append(ms)
                 print(f"Render path time: {ms:.3f}")
+            if amortized_ms is None:
+                # Steady-state per-frame cost: scan of renders in ONE
+                # dispatch, minus the null-dispatch floor (bench.py's
+                # protocol) — measured once, the graph is pose-independent.
+                iters = max(2, min(timing_reps, 6))
+
+                def frame_step(c, _c2w=c2w):
+                    o = renderer(params, scene, _c2w + 1e-7 * c)
+                    return c + o["rgb1"][0, 0, 0] * 1e-9
+
+                amortized_ms = amortized_timer(
+                    frame_step, jnp.float32(0), iters=iters, null_ms=null_ms
+                )
+                print(
+                    f"Steady-state render ms/frame (scan x{iters} minus "
+                    f"{null_ms:.1f} ms null dispatch): {amortized_ms:.3f}"
+                )
         rgb1 = np.asarray(out["rgb1"])
         rgb0 = np.asarray(out["rgb0"])
         depth = np.asarray(out["depth"])
@@ -205,6 +218,8 @@ def render_path(
         "psnrs": psnrs,
         "psnrs0": psnrs0,
         "times_ms": times_ms,
+        "amortized_ms": amortized_ms,
+        "null_ms": null_ms,
     }
     if psnrs:
         print(psnrs)

@@ -27,7 +27,7 @@ from pronerf_tpu.train.state import apply_updates, make_tx
 def init_stage2_state(params, weight_decay: float = 0.0) -> Dict[str, Any]:
     tx = make_tx(weight_decay)
     return {
-        "global_step": jnp.int32(0),
+        "global_step": jnp.int64(0) if jax.config.x64_enabled else jnp.int32(0),
         "params": params,
         "opt": tx.init(params),
         "opt_nerf": tx.init(params["nerf"]),  # vestigial, never stepped

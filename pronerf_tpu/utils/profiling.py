@@ -27,6 +27,23 @@ def readback(x):
     return np.asarray(leaf.ravel()[0:1])
 
 
+def null_dispatch_ms(reps: int = 5) -> float:
+    """Median ms of a null jitted dispatch + readback — the per-call floor
+    (tunnel round-trip on the axon backend, ~30 ms). Subtract from
+    amortized measurements; compare against per-dispatch ones."""
+    import jax
+    import jax.numpy as jnp
+
+    f0 = jax.jit(lambda x: x + 1.0)
+    readback(f0(jnp.zeros(())))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        readback(f0(jnp.zeros(())))
+        times.append((time.perf_counter() - t0) * 1e3)
+    return float(np.median(times))
+
+
 def device_timer(fn, *args, reps: int = 5):
     """Median wall ms of fn(*args) with forced readback (includes one
     dispatch round-trip)."""

@@ -52,8 +52,10 @@ def main(argv=None):
                     help="run the full protocol on a tiny generated on-disk "
                          "LLFF fixture (CI-style; PSNR is not meaningful on "
                          "the random-texture fixture)")
-    ap.add_argument("--use-trt", action="store_true", default=True,
-                    help="bfloat16 serving path for eval (default on)")
+    ap.add_argument("--use-trt", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="bfloat16 serving path for eval (default on; "
+                         "--no-use-trt selects the f32 parity eval)")
     ap.add_argument("--min-psnr", type=float, default=None,
                     help="fail (exit 1) if eval PSNR is below this")
     args = ap.parse_args(argv)

@@ -151,3 +151,34 @@ def test_unrolled_renderer_matches_lax_map():
     np.testing.assert_allclose(
         np.asarray(a["rgb1"]), np.asarray(b["rgb1"]), atol=1e-6
     )
+
+
+def test_timing_path_performs_host_readback(monkeypatch, capsys):
+    """The CLI timing protocol must sync via a HOST READBACK, not
+    block_until_ready (which returns early on the tunneled axon backend —
+    VERDICT r2 weak-1). Also asserts the steady-state amortized number is
+    measured and returned."""
+    from pronerf_tpu.utils import profiling
+
+    calls = {"n": 0}
+    real = profiling.readback
+
+    def counting_readback(x):
+        calls["n"] += 1
+        return real(x)
+
+    monkeypatch.setattr(profiling, "readback", counting_readback)
+
+    sc, scene, params = _setup(H=12, W=16)
+    H, W, _ = sc["hwf"]
+    res = render_path(
+        sc["poses"][:1], params, scene, RenderStatics.infer(),
+        H, W, sc["K"], tile_rays=0, timing_reps=2,
+    )
+    assert calls["n"] >= 3  # warm sync + timed reps (+ null/amortized)
+    assert len(res["times_ms"]) == 2
+    assert res["amortized_ms"] is not None and res["amortized_ms"] > 0
+    assert res["null_ms"] is not None
+    out = capsys.readouterr().out
+    assert "Render path time:" in out
+    assert "Steady-state render ms/frame" in out

@@ -60,6 +60,10 @@ def run_bench(H=378, W=504, frames_per_loop=6, reps=4):
     import jax
     import jax.numpy as jnp
 
+    from pronerf_tpu.cli import enable_compilation_cache
+
+    enable_compilation_cache()  # serving graphs deserialize in seconds
+
     from pronerf_tpu.config import Config
     from pronerf_tpu.models import init_pronerf_params
     from pronerf_tpu.render import prepare_scene
@@ -112,6 +116,18 @@ def main():
     ms, rays_per_s, null = run_bench(H, W)
     budget_ms = 1000.0 / 30.0  # 30 FPS real-time budget at 504x378
 
+    # Second operating point: the reference's full-res engine sizing
+    # (1008x756, trt_infer_v2.py:180,344) through the windowed gather.
+    full_res = {}
+    try:
+        fms, frps, _ = run_bench(756, 1008, frames_per_loop=4, reps=3)
+        full_res = {
+            "full_res_1008x756_ms": round(fms, 2),
+            "full_res_mrays_per_sec": round(frps / 1e6, 2),
+        }
+    except Exception as exc:  # full-res must never kill the headline bench
+        full_res = {"full_res_error": str(exc)[:160]}
+
     import jax
 
     from pronerf_tpu.utils.profiling import pipeline_macs
@@ -142,6 +158,7 @@ def main():
             "device_kind": device_kind,
             **({"model_flop_util": round(
                 achieved_tflops / peak, 4)} if peak else {}),
+            **full_res,
         },
     }
     print(json.dumps(result))

@@ -99,6 +99,10 @@ class Config:
     compute_dtype: Optional[str] = None  # 'bfloat16' inference fast path
     tile_rays: int = 8192                # render tile size; 0 = whole-frame
                                          # single dispatch (serving config)
+    gather_tiles: int = -1               # windowed epipolar gather tiles:
+                                         # -1 auto (on when the packed view
+                                         # exceeds the ~2.3MB gather cliff),
+                                         # 0 off, >0 explicit
     seed: int = 0
 
     @classmethod

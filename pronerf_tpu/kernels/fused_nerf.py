@@ -137,7 +137,13 @@ def _mm(w_t, x_t):
     ).astype(w_t.dtype)
 
 
-def _kernel(pts_ref, vcon_ref, *refs):
+def _forward(pts3, vcon_ref, ws):
+    """The shared PE -> MLP chain: one sample of a ray block.
+
+    Args: pts3 [3, R] raw query coords; vcon_ref [128, R] per-ray view
+    contribution; ws the 26 packed weight refs in ``_WEIGHT_ORDER``.
+    Returns (rgb [8, R] rows 0:3 live, sigma [8, R] row 0 live), compute
+    dtype."""
     (bx_t,
      w0p_t, b0,
      w1_t, b1, w2_t, b2, w3_t, b3, w4_t, b4,
@@ -145,12 +151,11 @@ def _kernel(pts_ref, vcon_ref, *refs):
      w6_t, b6, w7_t, b7,
      w_alpha_t, b_alpha, w_feat_t, b_feat,
      wvf_t, bv,
-     w_rgb_t, b_rgb,
-     out_ref) = refs
+     w_rgb_t, b_rgb) = ws
 
     cdt = w1_t.dtype
 
-    x = pts_ref[:].reshape(3, -1).astype(cdt)        # [1,3,R] -> [3, R]
+    x = pts3.astype(cdt)                             # [3, R]
     xb = _mm(bx_t[:], x)                             # [30, R]
     sx = jnp.sin(xb.astype(jnp.float32)).astype(cdt)
     cx = jnp.cos(xb.astype(jnp.float32)).astype(cdt)
@@ -174,7 +179,12 @@ def _kernel(pts_ref, vcon_ref, *refs):
     vcon = vcon_ref[:].astype(cdt)                   # [128, R]
     hv = jnp.maximum(_mm(wvf_t[:], feat) + vcon + bv[:], 0.0)
     rgb = _mm(w_rgb_t[:], hv) + b_rgb[:]             # [8, R] (rows 0:3)
+    return rgb, sigma
 
+
+def _kernel(pts_ref, vcon_ref, *refs):
+    ws, out_ref = refs[:-1], refs[-1]
+    rgb, sigma = _forward(pts_ref[:].reshape(3, -1), vcon_ref, ws)
     out_ref[:] = jnp.concatenate(
         [rgb[:3], sigma[:1]], axis=0
     ).astype(jnp.float32)[None]
@@ -244,3 +254,140 @@ def fused_nerf_raw_t(
 
     # [S, 4, Np] -> [N, S, 4]; rays stay minor throughout.
     return out.transpose(2, 0, 1)[:N]
+
+
+def _make_composite_kernel(n_samples: int, white_bkgd: bool):
+    def _kernel(pts_ref, vcon_ref, aux_ref, *refs):
+        ws = refs[:-3]
+        out_ref, w_ref, sig_ref = refs[-3:]
+        s = pl.program_id(1)
+        rgb8, sigma8 = _forward(pts_ref[:].reshape(3, -1), vcon_ref, ws)
+        sigf = sigma8[0:1].astype(jnp.float32)            # [1, R]
+        rgbf = jax.nn.sigmoid(rgb8[0:3].astype(jnp.float32))
+
+        aux = aux_ref[:].reshape(4, -1).astype(jnp.float32)
+        dist, z, madd, mmul = aux[0:1], aux[1:2], aux[2:3], aux[3:4]
+        alpha = 1.0 - jnp.exp(-jnp.maximum(sigf + madd, 0.0) * dist)
+        alpha = alpha * jnp.maximum(mmul, 0.0)
+
+        @pl.when(s == 0)
+        def _init():
+            out_ref[:] = jnp.zeros_like(out_ref)
+            out_ref[6:7] = jnp.ones_like(out_ref[6:7])    # transmittance
+
+        trans = out_ref[6:7]
+        w = alpha * trans
+        out_ref[0:3] = out_ref[0:3] + w * rgbf
+        out_ref[3:4] = out_ref[3:4] + w * z
+        out_ref[5:6] = out_ref[5:6] + w
+        out_ref[6:7] = trans * (1.0 - alpha + 1e-10)
+        w_ref[:] = w[None]
+        sig_ref[:] = sigf[None]
+
+        @pl.when(s == n_samples - 1)
+        def _finalize():
+            depth = out_ref[3:4]
+            acc = out_ref[5:6]
+            out_ref[4:5] = 1.0 / jnp.maximum(1e-10, depth / acc)
+            if white_bkgd:
+                out_ref[0:3] = out_ref[0:3] + (1.0 - acc)
+
+    return _kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_samples", "white_bkgd", "rays_per_block", "interpret"),
+)
+def fused_nerf_composite_t(
+    packed,
+    pts24_t,
+    vcon_t,
+    z_t,
+    mm_add_t,
+    mm_mul_t,
+    dnorm_t,
+    n_samples: int = 8,
+    white_bkgd: bool = False,
+    rays_per_block: int = 2048,
+    interpret: bool = False,
+):
+    """Fused PE -> NeRF MLP -> alpha COMPOSITE (no AD; inference path).
+
+    Same grid/layout as :func:`fused_nerf_raw_t` (one sample per step,
+    rays on lanes), but instead of writing raw [N, S, 4] back to HBM and
+    compositing in XLA, the kernel streams the composite along the sample
+    grid axis: the output block is revisited across the S steps of a ray
+    block, accumulating rgb/depth/acc and the running transmittance
+    in-VMEM, with the final step computing disparity. Per-sample weights
+    and sigma are emitted as secondary outputs so the ``render_rays``
+    contract is unchanged. Semantics mirror ``ops.composite`` with
+    mm density corrections, no noise/clamp/num_valid (the inference
+    variant, ``run_S_eS_eN_alter_trt.py:564-597``).
+
+    Args:
+      packed, pts24_t, vcon_t: as :func:`fused_nerf_raw_t`.
+      z_t: [S, N] sorted bin-constrained sample depths (z_vals transposed).
+      mm_add_t, mm_mul_t: [S, N] sampler density corrections, transposed.
+      dnorm_t: [1, N] per-ray ||ndc_d|| interval scale.
+
+    Returns: dict(rgb [N, 3], depth [N], disp [N], acc [N],
+      weights [N, S], sigma [N, S]) — float32.
+    """
+    S = n_samples
+    N = pts24_t.shape[1]
+    nb = -(-N // rays_per_block)
+    padn = nb * rays_per_block - N
+    # [S, 4, N] aux rows per sample: scaled interval, depth, mm_add, mm_mul
+    dists = jnp.concatenate(
+        [z_t[1:] - z_t[:-1], jnp.full_like(z_t[:1], 1e10)], axis=0
+    ) * dnorm_t
+    aux = jnp.stack([dists, z_t, mm_add_t, mm_mul_t], axis=1)
+    if padn:
+        pts24_t = jnp.pad(pts24_t, ((0, 0), (0, padn)))
+        vcon_t = jnp.pad(vcon_t, ((0, 0), (0, padn)))
+        aux = jnp.pad(aux, ((0, 0), (0, 0), (0, padn)))
+    Np = nb * rays_per_block
+    pts_s3 = pts24_t.reshape(S, 3, Np)
+
+    weights = [packed[k] for k in _WEIGHT_ORDER]
+    full = lambda a: pl.BlockSpec(
+        a.shape, lambda b, s: (0,) * a.ndim, memory_space=pltpu.VMEM
+    )
+    out, w_out, sig_out = pl.pallas_call(
+        _make_composite_kernel(S, white_bkgd),
+        grid=(nb, S),
+        in_specs=[
+            pl.BlockSpec((1, 3, rays_per_block), lambda b, s: (s, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W_HALF, rays_per_block), lambda b, s: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, rays_per_block), lambda b, s: (s, 0, b),
+                         memory_space=pltpu.VMEM),
+        ] + [full(w) for w in weights],
+        out_specs=[
+            pl.BlockSpec((8, rays_per_block), lambda b, s: (0, b),
+                         memory_space=pltpu.VMEM),
+            # [S, 1, Np] so trailing block dims (1, R) equal/divide the
+            # array dims (Mosaic tiling rule; interpret mode doesn't check)
+            pl.BlockSpec((1, 1, rays_per_block), lambda b, s: (s, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rays_per_block), lambda b, s: (s, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, Np), jnp.float32),
+            jax.ShapeDtypeStruct((S, 1, Np), jnp.float32),
+            jax.ShapeDtypeStruct((S, 1, Np), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pts_s3, vcon_t, aux, *weights)
+
+    return {
+        "rgb": out[0:3, :N].T,
+        "depth": out[3, :N],
+        "disp": out[4, :N],
+        "acc": out[5, :N],
+        "weights": w_out[:, 0, :N].T,
+        "sigma": sig_out[:, 0, :N].T,
+    }

@@ -83,9 +83,16 @@ class RenderStatics:
     offset_scale: float = 1e-2
     compute_dtype: Optional[str] = None  # 'bfloat16' for the inference path
     use_pallas: bool = False  # fused PE->NeRF->composite kernel (inference)
+    fuse_composite: bool = True  # stream alpha compositing inside the
+                                 # Pallas kernel (inference-only semantics:
+                                 # no noise/clamp/explore, mm terms on)
     pallas_block_rays: int = 2048  # ray columns per fused-kernel grid step
                                    # (one sample per step; 2048 lanes is
                                    # the measured sweet spot on v5e)
+    gather_tiles: int = 0      # windowed epipolar gather: contiguous ray
+                               # tiles (0 = off; -1 = auto from H*W at
+                               # renderer build). Full-res serving path.
+    gather_window_rows: int = 0  # source-row band height per tile window
     netarch: str = "nerf"     # radiance-field family: 'nerf' | 'donerf'
 
     # -- factories reproducing the reference's behavior matrix ------------
@@ -324,12 +331,28 @@ def render_rays(params, rays, scene, controls, statics: RenderStatics):
     else:
         # Deterministic eval/inference: one shared view set -> compacted
         # single-view gathers (the TPU fast path; see
-        # ops/warp.py:epipolar_colors_shared).
+        # ops/warp.py:epipolar_colors_shared). When the per-view table
+        # exceeds the gather staging cliff (full-res serving), tile the
+        # ray batch and gather through dynamic source-row windows.
         nearest = _nearest_views(statics, scene, controls)
-        colors = epipolar_colors_shared(
-            scene["images"], scene["fused_mats"], scene["K"], nearest,
-            rays["or_o"], rays["or_d"], jax.lax.stop_gradient(z3d),
-        )  # [N, V, S, 3]
+        imgs = scene["images"]
+        windowed = (
+            statics.gather_tiles > 0 and statics.gather_window_rows > 0
+            and imgs.ndim == 4 and imgs.dtype == jnp.int32
+        )
+        if windowed:
+            from pronerf_tpu.ops.warp import epipolar_colors_shared_windowed
+
+            colors = epipolar_colors_shared_windowed(
+                imgs, scene["fused_mats"], scene["K"], nearest,
+                rays["or_o"], rays["or_d"], jax.lax.stop_gradient(z3d),
+                statics.gather_tiles, statics.gather_window_rows,
+            )
+        else:
+            colors = epipolar_colors_shared(
+                imgs, scene["fused_mats"], scene["K"], nearest,
+                rays["or_o"], rays["or_d"], jax.lax.stop_gradient(z3d),
+            )  # [N, V, S, 3]
     colors = mean_fill_invalid(colors)
     colors = jax.lax.stop_gradient(colors)
     if statics.epi_layout == "svc":
@@ -392,11 +415,15 @@ def render_rays(params, rays, scene, controls, statics: RenderStatics):
 
     # 6. NeRF forward (fused Pallas kernel on the inference path, plain XLA
     # otherwise) + shared compositing.
+    comp = None
+    sigma_out = None
     if statics.use_pallas:
-        # In-VMEM PE + MLP chain; view-dir contribution and compositing
-        # stay in XLA (lane-sliver ops are VPU-hostile in-kernel). No AD
-        # through pallas_call — inference graphs only.
+        # In-VMEM PE + MLP chain; the view-dir ENCODING stays in XLA. No AD
+        # through pallas_call — inference graphs only. With fuse_composite
+        # (and inference semantics) alpha compositing streams inside the
+        # kernel along the sample grid axis; otherwise raw returns to XLA.
         from pronerf_tpu.kernels.fused_nerf import (
+            fused_nerf_composite_t,
             fused_nerf_raw_t,
             pack_nerf_params,
         )
@@ -430,11 +457,30 @@ def render_rays(params, rays, scene, controls, statics: RenderStatics):
                     )
                 rows24.append(row)
         pts24_t = jnp.stack(rows24, axis=0)
-        raw = fused_nerf_raw_t(
-            packed, pts24_t, vcon_t, n_samples=n_s,
-            rays_per_block=statics.pallas_block_rays,
-            interpret=jax.default_backend() != "tpu",
+        fuse_comp = (
+            statics.fuse_composite and statics.noise_std == 0.0
+            and not statics.explore and not statics.clamp_raw
+            and statics.use_mm
         )
+        if fuse_comp:
+            out_k = fused_nerf_composite_t(
+                packed, pts24_t, vcon_t,
+                z_vals.T.astype(jnp.float32),
+                mm_add.T.astype(jnp.float32),
+                mm_mul.T.astype(jnp.float32),
+                jnp.linalg.norm(ndc_d, axis=-1)[None, :].astype(jnp.float32),
+                n_samples=n_s, white_bkgd=statics.white_bkgd,
+                rays_per_block=statics.pallas_block_rays,
+                interpret=jax.default_backend() != "tpu",
+            )
+            comp = out_k
+            sigma_out = out_k["sigma"]
+        else:
+            raw = fused_nerf_raw_t(
+                packed, pts24_t, vcon_t, n_samples=n_s,
+                rays_per_block=statics.pallas_block_rays,
+                interpret=jax.default_backend() != "tpu",
+            )
     else:
         x_pe = positional_encoding(query_pts, statics.multires)
         d_pe = positional_encoding(rays["viewdirs"], statics.multires_views)
@@ -453,22 +499,24 @@ def render_rays(params, rays, scene, controls, statics: RenderStatics):
                 params["nerf"], x_pe, d_pe, statics.netskips, cdt
             )
 
-    noise = None
-    if statics.noise_std > 0.0:
-        noise = statics.noise_std * jax.random.normal(
-            noise_key, z_vals.shape, z_vals.dtype
+    if comp is None:
+        noise = None
+        if statics.noise_std > 0.0:
+            noise = statics.noise_std * jax.random.normal(
+                noise_key, z_vals.shape, z_vals.dtype
+            )
+        comp = composite(
+            raw,
+            z_vals,
+            ndc_d,
+            noise=noise,
+            mm_add=mm_add if statics.use_mm else None,
+            mm_mul=mm_mul if statics.use_mm else None,
+            clamp_raw=statics.clamp_raw,
+            num_valid=num_valid,
+            white_bkgd=statics.white_bkgd,
         )
-    comp = composite(
-        raw,
-        z_vals,
-        ndc_d,
-        noise=noise,
-        mm_add=mm_add if statics.use_mm else None,
-        mm_mul=mm_mul if statics.use_mm else None,
-        clamp_raw=statics.clamp_raw,
-        num_valid=num_valid,
-        white_bkgd=statics.white_bkgd,
-    )
+        sigma_out = raw[..., 3]
     return {
         "rgb0": refine_rgb,
         "rgb1": comp["rgb"],
@@ -478,5 +526,5 @@ def render_rays(params, rays, scene, controls, statics: RenderStatics):
         "weights": comp["weights"],
         "mm_rgb": mm_rgb,
         "depth0": jnp.mean(jax.lax.stop_gradient(z_vals), axis=-1),
-        "sigma": raw[..., 3],
+        "sigma": sigma_out,
     }

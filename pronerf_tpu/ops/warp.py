@@ -338,6 +338,109 @@ def epipolar_colors_shared(images, fused_mats, K, view_ids, rays_o, rays_d,
     return jnp.stack(outs, axis=1)
 
 
+def epipolar_colors_shared_windowed(
+    images, fused_mats, K, view_ids, rays_o, rays_d, z3d,
+    n_tiles: int, window_rows: int,
+):
+    """Shared-view epipolar colors through per-tile SOURCE-ROW WINDOWS —
+    the full-resolution serving path.
+
+    Problem (measured, v5e): the XLA gather emitter runs ~2.5x faster when
+    the gather table fits the small-buffer staging threshold (~2.3 MB). A
+    504x378 packed view fits; the 1008x756 view (9.1 MB) does not, halving
+    per-ray throughput at the reference's full-res engine operating point
+    (``trt_infer_v2.py:180,344``).
+
+    Fix: rays arrive in target-row-major order, and epipolar geometry keeps
+    a contiguous band of target rays projecting into a bounded band of
+    source rows (tile rows +- disparity). So: split the ray batch into
+    ``n_tiles`` contiguous tiles; per (tile, view), ``dynamic_slice`` a
+    ``window_rows``-row band of the packed view around the tile's projected
+    row range (a sub-cliff table) and gather from it with band-local
+    indices. The corner stack already carries each pixel's right/down
+    neighbors, so bilinear sampling from a band slice is EXACT.
+
+    Points whose row lands outside the window (window_rows too small for
+    the scene's disparity) are marked invalid exactly like out-of-image
+    projections (zeros -> ``mean_fill_invalid``); with a covering window
+    the result equals :func:`epipolar_colors_shared` bit for bit (tested).
+
+    Args:
+      images: int32 [T, H, W, 3] ``build_corner_stack_u8`` pack (the
+        serving format; other formats should use the unwindowed path).
+      view_ids: [V] int32 shared source-view ids.
+      rays_o, rays_d: [N, 3] original camera-space rays, target-row-major.
+      z3d: [N, S] 3D depths.
+      n_tiles: contiguous ray tiles (N is padded to a multiple).
+      window_rows: source-band height; W * window_rows * 12 B should sit
+        under the ~2.3 MB staging threshold.
+
+    Returns: colors [N, V, S, 3].
+    """
+    import jax
+
+    T, H, W, _ = images.shape
+    V = int(view_ids.shape[0])
+    N, S = z3d.shape
+    n_pad = -(-N // n_tiles) * n_tiles - N
+    if n_pad:
+        rays_o = jnp.pad(rays_o, ((0, n_pad), (0, 0)))
+        rays_d = jnp.pad(rays_d, ((0, n_pad), (0, 0)), constant_values=1.0)
+        z3d = jnp.pad(z3d, ((0, n_pad), (0, 0)))
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z3d[..., None]
+    nt = (N + n_pad) // n_tiles
+
+    outs = []
+    for v in range(V):
+        M = fused_mats[view_ids[v]]
+        xn, yn = project_points(pts, M, K, H, W)  # [Np, S]
+        inb = (xn >= -1.0) & (xn <= 1.0) & (yn >= -1.0) & (yn <= 1.0)
+        u = jnp.clip((xn + 1.0) * 0.5 * (W - 1), 0.0, W - 1)
+        vv = jnp.clip((yn + 1.0) * 0.5 * (H - 1), 0.0, H - 1)
+        x0 = jnp.floor(u).astype(jnp.int32)
+        y0 = jnp.floor(vv).astype(jnp.int32)
+        wx = (u - x0.astype(u.dtype))[..., None]
+        wy = (vv - y0.astype(vv.dtype))[..., None]
+        img_v = jax.lax.dynamic_index_in_dim(
+            images, view_ids[v], axis=0, keepdims=False
+        )  # [H, W, 3]
+
+        wr = min(window_rows, H)
+        tile_cols = []
+        for t in range(n_tiles):
+            sl = slice(t * nt, (t + 1) * nt)
+            y0_t = y0[sl]
+            inb_t = inb[sl]
+            # window start: cover the tile's VALID projected rows; invalid
+            # projections are zeroed anyway so they must not widen the band
+            y_lo = jnp.min(jnp.where(inb_t, y0_t, H))
+            start = jnp.clip(y_lo, 0, max(H - wr, 0))
+            win = jax.lax.dynamic_slice(
+                img_v, (start, 0, 0), (wr, W, 3)
+            ).reshape(-1, 3)
+            y_loc = y0_t - start
+            hit = inb_t & (y_loc >= 0) & (y_loc < wr)
+            rows = jnp.take(
+                win,
+                jnp.clip(y_loc, 0, wr - 1) * W + x0[sl],
+                axis=0,
+            ).astype(jnp.uint32)
+
+            def lane(shift):
+                return ((rows >> shift) & 0xFF).astype(jnp.float32) * (
+                    1.0 / 255.0
+                )
+
+            c00, c01, c10, c11 = lane(0), lane(8), lane(16), lane(24)
+            top = c00 * (1.0 - wx[sl]) + c01 * wx[sl]
+            bot = c10 * (1.0 - wx[sl]) + c11 * wx[sl]
+            out = top * (1.0 - wy[sl]) + bot * wy[sl]
+            tile_cols.append(out * hit[..., None].astype(out.dtype))
+        outs.append(jnp.concatenate(tile_cols, axis=0))
+    colors = jnp.stack(outs, axis=1)  # [Np, V, S, 3]
+    return colors[:N]
+
+
 def mean_fill_invalid(colors, eps: float = 1e-6):
     """Replace invalid (all-zero) warped colors by the mean of the valid
     neighbor views at the same (ray, sample), matching the reference's

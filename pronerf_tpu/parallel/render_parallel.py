@@ -43,8 +43,11 @@ def make_sharded_frame_renderer(
     the serving analogue of ``parallel.data_parallel`` (same mesh, same
     replication choices).
     """
+    from pronerf_tpu.render.renderer import resolve_gather_statics
+
     K = np.asarray(K)
     n_dev = mesh.shape["rays"]
+    statics = resolve_gather_statics(statics, H, W, (H * W) // n_dev)
     n = H * W
     n_pad = -(-n // n_dev) * n_dev
 

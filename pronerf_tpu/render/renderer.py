@@ -39,6 +39,31 @@ def _pad_and_tile(rays, tile: int):
     return {k: prep(v) for k, v in rays.items()}, n
 
 
+GATHER_CLIFF_BYTES = 2.4e6  # measured v5e gather staging threshold (~2.3MB)
+
+
+def resolve_gather_statics(
+    statics: RenderStatics, H: int, W: int, rays_per_call: int
+) -> RenderStatics:
+    """Resolve ``gather_tiles == -1`` (auto): enable the windowed epipolar
+    gather when a packed source view exceeds the v5e gather staging cliff
+    (full-res serving), sized so each window sits under it with ~half the
+    band left for disparity spread. No-op below the cliff or when set
+    explicitly."""
+    import dataclasses
+
+    if statics.gather_tiles != -1:
+        return statics
+    if H * W * 12 <= GATHER_CLIFF_BYTES:
+        return dataclasses.replace(statics, gather_tiles=0)
+    window_rows = max(64, int(GATHER_CLIFF_BYTES // (W * 12)))
+    rows_per_call = max(1, rays_per_call // W)
+    n_tiles = max(1, round(rows_per_call / max(window_rows // 2, 1)))
+    return dataclasses.replace(
+        statics, gather_tiles=n_tiles, gather_window_rows=window_rows
+    )
+
+
 def make_frame_renderer(
     statics: RenderStatics,
     H: int,
@@ -62,6 +87,7 @@ def make_frame_renderer(
     K = np.asarray(K)
     if not tile_rays or tile_rays >= H * W:
         tile_rays, unroll = H * W, True
+    statics = resolve_gather_statics(statics, H, W, tile_rays)
 
     def render_frame(params, scene, c2w):
         # pack once, outside the tile loop

@@ -20,6 +20,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 MODE = sys.argv[1] if len(sys.argv) > 1 else "xla"
 TOP_N = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+RES = sys.argv[3] if len(sys.argv) > 3 else "504x378"  # WxH
 
 
 def main():
@@ -32,7 +33,7 @@ def main():
     from pronerf_tpu.utils.profiling import readback
     from pronerf_tpu.utils.synthetic import make_scene
 
-    H, W = 378, 504
+    W, H = (int(v) for v in RES.split("x"))
     sc = make_scene(n_views=17, H=H, W=W, focal=0.8 * W, seed=0)
     scene = prepare_scene(sc["images"], sc["poses"], sc["K"])
     params = init_pronerf_params(jax.random.PRNGKey(0))

@@ -179,3 +179,77 @@ def test_pipeline_pallas_bf16_close_to_xla_bf16():
     np.testing.assert_allclose(
         np.asarray(fused["depth"]), np.asarray(xla["depth"]), atol=0.02
     )
+
+
+def test_fused_composite_kernel_matches_ops_composite():
+    """The in-kernel streaming composite (grid-axis accumulation) must
+    equal fused_raw + ops.composite with mm terms (inference semantics),
+    including the weights/sigma secondary outputs."""
+    from pronerf_tpu.kernels.fused_nerf import fused_nerf_composite_t
+    from pronerf_tpu.ops.composite import composite
+
+    params = init_nerf_mlp(jax.random.PRNGKey(4))
+    pts, dirs = _inputs(n=96, seed=5)
+    key = jax.random.PRNGKey(6)
+    ks = jax.random.split(key, 3)
+    z = jnp.sort(jax.random.uniform(ks[0], (96, 8)), axis=-1)
+    mm_add = jax.random.normal(ks[1], (96, 8))
+    mm_mul = jax.random.normal(ks[2], (96, 8)) + 0.5
+    rays_d = dirs * 1.3
+
+    packed = pack_nerf_params(params, dtype=jnp.float32)
+    vc = _vcon_t(params, dirs, jnp.float32)
+    raw = fused_nerf_raw_t(
+        packed, _pts24_t(pts), vc, rays_per_block=32, interpret=True
+    )
+    ref = composite(raw, z, rays_d, mm_add=mm_add, mm_mul=mm_mul)
+
+    got = fused_nerf_composite_t(
+        packed, _pts24_t(pts), vc, z.T, mm_add.T, mm_mul.T,
+        jnp.linalg.norm(rays_d, axis=-1)[None, :],
+        rays_per_block=32, interpret=True,
+    )
+    for k, atol in (("rgb", 2e-5), ("depth", 2e-5), ("acc", 2e-5),
+                    ("weights", 2e-5), ("disp", 1e-3)):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(ref[k]), atol=atol, err_msg=k
+        )
+    np.testing.assert_allclose(
+        np.asarray(got["sigma"]), np.asarray(raw[..., 3]), atol=2e-5
+    )
+
+
+def test_render_rays_fuse_composite_off_matches_on():
+    """fuse_composite=False (raw kernel + XLA composite) and the default
+    fused path must agree — the A/B knob is semantics-neutral."""
+    from pronerf_tpu.models import (
+        RenderStatics,
+        init_pronerf_params,
+        render_rays,
+    )
+    from pronerf_tpu.render import prepare_scene
+    from pronerf_tpu.render.raygen import rays_for_pose
+    from pronerf_tpu.utils.synthetic import make_scene
+
+    sc = make_scene(n_views=5, H=16, W=20, seed=0)
+    H, W, _ = sc["hwf"]
+    scene = prepare_scene(sc["images"], sc["poses"], sc["K"])
+    params = init_pronerf_params(jax.random.PRNGKey(0))
+    rays = rays_for_pose(H, W, sc["K"], sc["poses"][1])
+    controls = {
+        "rng": jax.random.PRNGKey(0),
+        "target_t": jnp.asarray(sc["poses"][1][:3, 3]),
+    }
+    on = render_rays(
+        params, rays, scene, controls,
+        RenderStatics.infer(use_pallas=True, pallas_block_rays=128),
+    )
+    off = render_rays(
+        params, rays, scene, controls,
+        RenderStatics.infer(use_pallas=True, pallas_block_rays=128,
+                            fuse_composite=False),
+    )
+    for k in ("rgb1", "depth", "acc", "weights", "sigma"):
+        np.testing.assert_allclose(
+            np.asarray(on[k]), np.asarray(off[k]), atol=3e-5, err_msg=k
+        )

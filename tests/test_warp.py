@@ -211,3 +211,73 @@ def test_epipolar_colors_shared_matches_general():
         a = epipolar_colors(table, M, K, bidx, ro, rd, z)
         b = epipolar_colors_shared(table, M, K, view_ids, ro, rd, z)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_windowed_shared_gather_matches_global():
+    """The per-tile dynamic source-row window gather (full-res serving
+    path) must equal epipolar_colors_shared exactly when windows cover
+    the projected rows, and degrade to the OOB-zeros semantics (not wrong
+    colors) when they do not."""
+    import jax.numpy as jnp
+
+    from pronerf_tpu.ops.warp import (
+        build_corner_stack_u8,
+        epipolar_colors_shared,
+        epipolar_colors_shared_windowed,
+        fuse_projection,
+    )
+    from pronerf_tpu.render.raygen import rays_for_pose
+    from pronerf_tpu.utils.synthetic import make_scene
+
+    sc = make_scene(n_views=6, H=40, W=48, seed=0)
+    H, W, _ = sc["hwf"]
+    packed = build_corner_stack_u8(jnp.asarray(sc["images"]))
+    mats = fuse_projection(jnp.asarray(sc["poses"]))
+    K = jnp.asarray(sc["K"])
+    rays = rays_for_pose(H, W, sc["K"], sc["poses"][0])
+    rng = np.random.default_rng(0)
+    z3d = jnp.asarray(
+        np.sort(rng.uniform(1.0, 6.0, size=(H * W, 8)), axis=-1),
+        jnp.float32,
+    )
+    view_ids = jnp.asarray([1, 2, 3, 4], jnp.int32)
+
+    ref = epipolar_colors_shared(
+        packed, mats, K, view_ids, rays["or_o"], rays["or_d"], z3d
+    )
+    # full-height windows: bitwise identical
+    full = epipolar_colors_shared_windowed(
+        packed, mats, K, view_ids, rays["or_o"], rays["or_d"], z3d,
+        n_tiles=4, window_rows=H,
+    )
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(ref))
+
+    # small windows: every nonzero output matches ref; misses are zeros
+    small = epipolar_colors_shared_windowed(
+        packed, mats, K, view_ids, rays["or_o"], rays["or_d"], z3d,
+        n_tiles=8, window_rows=12,
+    )
+    small_np, ref_np = np.asarray(small), np.asarray(ref)
+    hit = np.abs(small_np).sum(-1) > 0
+    np.testing.assert_allclose(small_np[hit], ref_np[hit], atol=0)
+    assert hit.mean() > 0.1  # windows are not degenerate
+
+
+def test_resolve_gather_statics_auto():
+    from pronerf_tpu.models import RenderStatics
+    from pronerf_tpu.render.renderer import resolve_gather_statics
+
+    s = RenderStatics.infer(gather_tiles=-1)
+    # below the cliff: off
+    low = resolve_gather_statics(s, 378, 504, 378 * 504)
+    assert low.gather_tiles == 0
+    # full res: windows under ~2.3MB, ~2 tiles per window height
+    hi = resolve_gather_statics(s, 756, 1008, 756 * 1008)
+    assert hi.gather_window_rows * 1008 * 12 <= 2.4e6
+    assert 6 <= hi.gather_tiles <= 10
+    # explicit settings pass through
+    ex = resolve_gather_statics(
+        RenderStatics.infer(gather_tiles=4, gather_window_rows=64),
+        756, 1008, 756 * 1008,
+    )
+    assert ex.gather_tiles == 4 and ex.gather_window_rows == 64

@@ -389,12 +389,17 @@ def epipolar_colors_shared_windowed(
         z3d = jnp.pad(z3d, ((0, n_pad), (0, 0)))
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z3d[..., None]
     nt = (N + n_pad) // n_tiles
+    # zero-padded rays (frame tiling pads with zeros) must not influence
+    # window placement — their degenerate projections could pull a tile's
+    # row window away from the live rays
+    live = (jnp.sum(jnp.abs(rays_d), axis=-1) > 0)[:, None]
 
     outs = []
     for v in range(V):
         M = fused_mats[view_ids[v]]
         xn, yn = project_points(pts, M, K, H, W)  # [Np, S]
         inb = (xn >= -1.0) & (xn <= 1.0) & (yn >= -1.0) & (yn <= 1.0)
+        inb = inb & live
         u = jnp.clip((xn + 1.0) * 0.5 * (W - 1), 0.0, W - 1)
         vv = jnp.clip((yn + 1.0) * 0.5 * (H - 1), 0.0, H - 1)
         x0 = jnp.floor(u).astype(jnp.int32)

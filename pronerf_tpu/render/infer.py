@@ -39,10 +39,14 @@ def load_inference_data(cfg: Config):
     from pronerf_tpu.config import enforce_flag_contract
 
     enforce_flag_contract(cfg)
-    if cfg.datadir == "synthetic":
-        from pronerf_tpu.utils.synthetic import make_consistent_scene
+    if cfg.datadir.startswith("synthetic"):
+        from pronerf_tpu.utils.synthetic import (
+            make_consistent_scene,
+            parse_synthetic_spec,
+        )
 
-        sc = make_consistent_scene(n_views=8, H=60, W=80, seed=cfg.seed)
+        sc = make_consistent_scene(seed=cfg.seed,
+                                   **parse_synthetic_spec(cfg.datadir))
         images = sc["images"]
         H, W, focal = sc["hwf"]
         poses = sc["poses"]

@@ -69,10 +69,14 @@ def load_training_data(cfg: Config):
             "no_batching/full_image single-image sampling is not part of the "
             "release path (the reference always uses the shuffled ray pool)"
         )
-    if cfg.datadir == "synthetic":
-        from pronerf_tpu.utils.synthetic import make_consistent_scene
+    if cfg.datadir.startswith("synthetic"):
+        from pronerf_tpu.utils.synthetic import (
+            make_consistent_scene,
+            parse_synthetic_spec,
+        )
 
-        sc = make_consistent_scene(n_views=8, H=60, W=80, seed=cfg.seed)
+        sc = make_consistent_scene(seed=cfg.seed,
+                                   **parse_synthetic_spec(cfg.datadir))
         images, K = sc["images"], sc["K"]
         H, W, focal = sc["hwf"]
         poses = np.concatenate(

@@ -131,8 +131,10 @@ def run_multi_training(cfg: Config, datadirs, n_ray_shards: int = 1,
     n_train = None
     rng = np.random.default_rng(cfg.seed)
     for idx, datadir in enumerate(datadirs):
-        sub = cfg.replace(datadir="synthetic", seed=cfg.seed + idx) \
-            if datadir.startswith("synthetic") else cfg.replace(datadir=datadir)
+        sub = cfg.replace(
+            datadir=datadir if ":" in datadir else "synthetic",
+            seed=cfg.seed + idx,
+        ) if datadir.startswith("synthetic") else cfg.replace(datadir=datadir)
         data = load_training_data(sub)
         if H is None:
             H, W, focal = data["H"], data["W"], data["focal"]

@@ -62,6 +62,17 @@ def make_scene(
     }
 
 
+def parse_synthetic_spec(datadir: str) -> dict:
+    """Parse a synthetic datadir spec: ``synthetic`` (default tiny scene)
+    or ``synthetic:WxHxV`` (e.g. ``synthetic:504x378x17`` = the fern
+    operating point). Focal scales with width like the default scene."""
+    if ":" not in datadir:
+        return {"n_views": 8, "H": 60, "W": 80, "focal": 70.0}
+    spec = datadir.split(":", 1)[1]
+    w, h, v = (int(x) for x in spec.split("x"))
+    return {"n_views": v, "H": h, "W": w, "focal": 0.875 * w}
+
+
 def make_consistent_scene(
     n_views: int = 8,
     H: int = 60,

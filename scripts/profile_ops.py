@@ -38,7 +38,8 @@ def main():
     scene = prepare_scene(sc["images"], sc["poses"], sc["K"])
     params = init_pronerf_params(jax.random.PRNGKey(0))
     statics = RenderStatics.infer(
-        compute_dtype="bfloat16", use_pallas=(MODE == "pallas")
+        compute_dtype="bfloat16", use_pallas=(MODE == "pallas"),
+        gather_tiles=-1,
     )
     renderer = make_frame_renderer(statics, H, W, sc["K"], tile_rays=0)
     c2w = jnp.asarray(sc["poses"][0])

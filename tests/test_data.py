@@ -118,3 +118,14 @@ def test_spherify_poses():
     assert new_poses.shape[0] == 120
     assert bds2.shape == bds.shape
 
+
+
+def test_parse_synthetic_spec():
+    from pronerf_tpu.utils.synthetic import parse_synthetic_spec
+
+    assert parse_synthetic_spec("synthetic") == {
+        "n_views": 8, "H": 60, "W": 80, "focal": 70.0
+    }
+    spec = parse_synthetic_spec("synthetic:504x378x17")
+    assert (spec["W"], spec["H"], spec["n_views"]) == (504, 378, 17)
+    assert spec["focal"] == 0.875 * 504

@@ -399,7 +399,6 @@ def epipolar_colors_shared_windowed(
         M = fused_mats[view_ids[v]]
         xn, yn = project_points(pts, M, K, H, W)  # [Np, S]
         inb = (xn >= -1.0) & (xn <= 1.0) & (yn >= -1.0) & (yn <= 1.0)
-        inb = inb & live
         u = jnp.clip((xn + 1.0) * 0.5 * (W - 1), 0.0, W - 1)
         vv = jnp.clip((yn + 1.0) * 0.5 * (H - 1), 0.0, H - 1)
         x0 = jnp.floor(u).astype(jnp.int32)
@@ -417,8 +416,11 @@ def epipolar_colors_shared_windowed(
             y0_t = y0[sl]
             inb_t = inb[sl]
             # window start: cover the tile's VALID projected rows; invalid
-            # projections are zeroed anyway so they must not widen the band
-            y_lo = jnp.min(jnp.where(inb_t, y0_t, H))
+            # projections are zeroed anyway so they must not widen the
+            # band, and neither must zero-PADDED rays (live mask applies
+            # here only — folding it into the gather mask measurably
+            # perturbed the emitted gather fusion)
+            y_lo = jnp.min(jnp.where(inb_t & live[sl], y0_t, H))
             start = jnp.clip(y_lo, 0, max(H - wr, 0))
             win = jax.lax.dynamic_slice(
                 img_v, (start, 0, 0), (wr, W, 3)

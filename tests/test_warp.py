@@ -281,3 +281,49 @@ def test_resolve_gather_statics_auto():
         756, 1008, 756 * 1008,
     )
     assert ex.gather_tiles == 4 and ex.gather_window_rows == 64
+
+
+def test_render_rays_windowed_serving_matches_unwindowed():
+    """Full serving pipeline (bf16 + Pallas kernels) with the windowed
+    transposed gather must match the unwindowed serving graph when
+    windows cover the scene."""
+    import jax
+    import jax.numpy as jnp
+
+    from pronerf_tpu.models import (
+        RenderStatics,
+        init_pronerf_params,
+        render_rays,
+    )
+    from pronerf_tpu.render import prepare_scene
+    from pronerf_tpu.render.raygen import rays_for_pose
+    from pronerf_tpu.utils.synthetic import make_scene
+
+    sc = make_scene(n_views=5, H=16, W=20, seed=0)
+    H, W, _ = sc["hwf"]
+    scene = prepare_scene(sc["images"], sc["poses"], sc["K"])
+    params = init_pronerf_params(jax.random.PRNGKey(0))
+    rays = rays_for_pose(H, W, sc["K"], sc["poses"][1])
+    controls = {
+        "rng": jax.random.PRNGKey(0),
+        "target_t": jnp.asarray(sc["poses"][1][:3, 3]),
+    }
+    base = render_rays(
+        params, rays, scene, controls,
+        RenderStatics.infer(compute_dtype="bfloat16", use_pallas=True,
+                            pallas_block_rays=128),
+    )
+    win = render_rays(
+        params, rays, scene, controls,
+        RenderStatics.infer(compute_dtype="bfloat16", use_pallas=True,
+                            pallas_block_rays=128, gather_tiles=4,
+                            gather_window_rows=H),
+    )
+    # tolerances: the transposed path projects as (M o + t) + z (M d) vs
+    # M (o + d z) + t — identical math, different fp association; a few
+    # points shift sub-pixel, nudging gathered colors by ~1/255 through
+    # the bf16 refine net (rgb0 feels it most; all within bf16 eps)
+    for k, atol in (("rgb1", 1e-3), ("rgb0", 5e-3), ("depth", 1e-3)):
+        np.testing.assert_allclose(
+            np.asarray(win[k]), np.asarray(base[k]), atol=atol, err_msg=k
+        )

@@ -83,12 +83,17 @@ class RenderStatics:
     offset_scale: float = 1e-2
     compute_dtype: Optional[str] = None  # 'bfloat16' for the inference path
     use_pallas: bool = False  # fused PE->NeRF->composite kernel (inference)
-    fuse_composite: bool = True  # stream alpha compositing inside the
-                                 # Pallas kernel (inference-only semantics:
-                                 # no noise/clamp/explore, mm terms on)
-    pallas_block_rays: int = 2048  # ray columns per fused-kernel grid step
-                                   # (one sample per step; 2048 lanes is
-                                   # the measured sweet spot on v5e)
+    fuse_composite: bool = False  # stream alpha compositing inside the
+                                  # Pallas kernel. Measured cost-NEUTRAL
+                                  # standalone but +0.7 ms in-frame on v5e
+                                  # (the separate XLA composite fuses with
+                                  # neighbors; the kernel's aux inputs and
+                                  # secondary outputs do not) — off by
+                                  # default, kept as an A/B knob
+    pallas_block_rays: int = 4096  # ray columns per fused-kernel grid step
+                                   # (one sample per step; 4096 lanes beat
+                                   # 2048 by ~1 ms/frame at fern scale in
+                                   # the round-3 block sweep on v5e)
     gather_tiles: int = 0      # windowed epipolar gather: contiguous ray
                                # tiles (0 = off; -1 = auto from H*W at
                                # renderer build). Full-res serving path.

@@ -87,12 +87,10 @@ def make_frame_renderer(
     K = np.asarray(K)
     if not tile_rays or tile_rays >= H * W:
         tile_rays, unroll = H * W, True
-        if statics.use_pallas:
-            # round the single tile up to a kernel-block multiple so the
-            # pallas_call wrappers need no pad/copy of the big operands
-            # (H*W rarely divides by 128; the pads cost ~2 ms at full res)
-            b = statics.pallas_block_rays
-            tile_rays = -(-H * W // b) * b
+        # NOTE: padding the tile up to a kernel-block multiple here was
+        # measured at +3.4 ms/frame (504x378) — the jnp.pad of the ray
+        # bundle breaks producer fusions; the kernels' internal pads are
+        # far cheaper. Keep the exact frame size.
     statics = resolve_gather_statics(statics, H, W, tile_rays)
 
     def render_frame(params, scene, c2w):

@@ -27,7 +27,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from pronerf_tpu.models import RenderStatics, init_pronerf_params
+    from pronerf_tpu.models import init_pronerf_params
     from pronerf_tpu.render import prepare_scene
     from pronerf_tpu.render.renderer import make_frame_renderer
     from pronerf_tpu.utils.profiling import readback
@@ -37,10 +37,16 @@ def main():
     sc = make_scene(n_views=17, H=H, W=W, focal=0.8 * W, seed=0)
     scene = prepare_scene(sc["images"], sc["poses"], sc["K"])
     params = init_pronerf_params(jax.random.PRNGKey(0))
-    statics = RenderStatics.infer(
-        compute_dtype="bfloat16", use_pallas=(MODE == "pallas"),
-        gather_tiles=-1,
+    # EXACTLY the bench statics so compiles hit the same persistent cache
+    from pronerf_tpu.cli import DEFAULT_TRT_CONFIG
+    from pronerf_tpu.config import Config
+    from pronerf_tpu.render.infer import _infer_statics
+
+    cfg = Config.from_file(
+        DEFAULT_TRT_CONFIG, datadir="synthetic", use_trt=True, tile_rays=0,
+        use_pallas=(MODE == "pallas"),
     )
+    statics = _infer_statics(cfg, use_bf16=True)
     renderer = make_frame_renderer(statics, H, W, sc["K"], tile_rays=0)
     c2w = jnp.asarray(sc["poses"][0])
 

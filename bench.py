@@ -151,8 +151,8 @@ def main():
             "serving_config": "whole-frame single dispatch + fused "
                               "transposed NeRF kernel",
             "repro_cli": "python -m pronerf_tpu.cli infer --use-trt "
-                         "--timing-reps 20 -- --tile_rays 0 "
-                         "--use_pallas True",
+                         "--timing-reps 20  (serving graph is the "
+                         "--use-trt default since r3)",
             "analytic_gmacs_per_frame": round(sum(macs.values()) / 1e9, 2),
             "achieved_model_tflops": round(achieved_tflops, 1),
             "device_kind": device_kind,

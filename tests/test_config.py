@@ -155,3 +155,20 @@ def test_serving_defaults_on_use_trt():
     ns = argparse.Namespace(config=None, use_trt=True, extra=[])
     cfg = _build_cfg(ns, DEFAULT_TRT_CONFIG)
     assert cfg.tile_rays == 8192 and not cfg.use_pallas
+
+
+def test_enable_compilation_cache_env(monkeypatch, tmp_path):
+    """The CLI's persistent-cache hook: creates/uses the dir, honors the
+    off switch (PRONERF_XLA_CACHE=off)."""
+    from pronerf_tpu.cli import enable_compilation_cache
+
+    target = tmp_path / "xla_cache"
+    monkeypatch.setenv("PRONERF_XLA_CACHE", str(target))
+    assert enable_compilation_cache() == str(target)
+    assert target.is_dir()
+    import jax
+
+    assert jax.config.jax_compilation_cache_dir == str(target)
+
+    monkeypatch.setenv("PRONERF_XLA_CACHE", "off")
+    assert enable_compilation_cache() is None

@@ -11,8 +11,12 @@ dispatch overhead dominates. This executor:
   (distributionally identical to the reference's host draws: n_mult ~
   U{1..8}, direction coins ~ Bernoulli(0.5), neighbor subset = sorted
   4-choice without replacement — ``run_S_eS_eN_alter_base.py:689-729``);
-- runs K steps inside one ``lax.scan``, alternating the stage-1 branches
-  with ``lax.cond`` on step parity (both branches live in one executable);
+- runs K steps inside one ``lax.scan``. Stage 1 scans over step PAIRS —
+  each iteration runs one NeRF step then one sampler step sequentially
+  (the alternation is deterministic, so no ``lax.cond`` is needed; the
+  earlier cond-on-parity formulation risks XLA predicating BOTH branch
+  bodies every step). Requires an even ``global_step`` at chunk start —
+  the driver falls back to the per-step loop otherwise;
 - returns mean/last metrics for the chunk.
 
 Enabled with ``Config.scan_steps > 1``; the reference-shaped per-step loop
@@ -67,39 +71,57 @@ def make_scan_executor(cfg, H: int, W: int, focal: float, n_train: int,
         joint_fn = build_stage2_step_fn(cfg, H, W, focal)
         lr_fn = lambda s: stage2_lr(s, cfg.lrate, cfg.lrate_decay)
 
+    def _one_step(step_fn, state, scene, pool, pool_ids, i_batch0, k,
+                  base_key):
+        # iteration number i (1-based like the reference loop)
+        i = state["global_step"] + 1
+        batch = jax.lax.dynamic_slice_in_dim(
+            pool, i_batch0 + k * n_rand, n_rand
+        )
+        bids = jax.lax.dynamic_slice_in_dim(
+            pool_ids, i_batch0 + k * n_rand, n_rand
+        )
+        controls = _draw_device_controls(
+            base_key, i, n_train, cfg.num_neighbor, max_mult
+        )
+        lr = lr_fn((i - 1).astype(jnp.float32))
+        return step_fn(state, scene, batch, bids, controls, lr)
+
     @partial(jax.jit, donate_argnums=(0,))
     def run_chunk(state, scene, pool, pool_ids, i_batch0, base_key):
-        def body(carry, k):
-            state, _ = carry
-            # iteration number i (1-based like the reference loop)
-            i = state["global_step"] + 1
-            batch = jax.lax.dynamic_slice_in_dim(
-                pool, i_batch0 + k * n_rand, n_rand
-            )
-            bids = jax.lax.dynamic_slice_in_dim(
-                pool_ids, i_batch0 + k * n_rand, n_rand
-            )
-            controls = _draw_device_controls(
-                base_key, i, n_train, cfg.num_neighbor, max_mult
-            )
-            lr = lr_fn((i - 1).astype(jnp.float32))
-            if stage == 1:
-                state, metrics = jax.lax.cond(
-                    i % 2 != 0,
-                    lambda s: nerf_fn(s, scene, batch, bids, controls, lr),
-                    lambda s: sampler_fn(s, scene, batch, bids, controls, lr),
-                    state,
+        if stage == 1:
+            # scan over PAIRS: odd step (NeRF) then even step (sampler),
+            # sequentially — no cond, no risk of predicated double work.
+            # Caller guarantees global_step is EVEN and scan_steps too.
+            def body(carry, p):
+                state, _ = carry
+                state, m1 = _one_step(nerf_fn, state, scene, pool,
+                                      pool_ids, i_batch0, 2 * p, base_key)
+                state, m2 = _one_step(sampler_fn, state, scene, pool,
+                                      pool_ids, i_batch0, 2 * p + 1,
+                                      base_key)
+                return (state, m2), (
+                    jnp.stack([m1["loss"], m2["loss"]]),
+                    jnp.stack([m1["psnr"], m2["psnr"]]),
                 )
-            else:
-                state, metrics = joint_fn(
-                    state, scene, batch, bids, controls, lr
-                )
-            return (state, metrics), (metrics["loss"], metrics["psnr"])
 
-        (state, last_metrics), (losses, psnrs) = jax.lax.scan(
-            body, (state, {"loss": jnp.float32(0), "psnr": jnp.float32(0)}),
-            jnp.arange(scan_steps),
-        )
+            (state, last_metrics), (losses, psnrs) = jax.lax.scan(
+                body,
+                (state, {"loss": jnp.float32(0), "psnr": jnp.float32(0)}),
+                jnp.arange(scan_steps // 2),
+            )
+        else:
+            def body(carry, k):
+                state, _ = carry
+                state, metrics = _one_step(joint_fn, state, scene, pool,
+                                           pool_ids, i_batch0, k, base_key)
+                return (state, metrics), (metrics["loss"], metrics["psnr"])
+
+            (state, last_metrics), (losses, psnrs) = jax.lax.scan(
+                body,
+                (state, {"loss": jnp.float32(0), "psnr": jnp.float32(0)}),
+                jnp.arange(scan_steps),
+            )
         last_metrics = dict(
             last_metrics,
             mean_loss=jnp.mean(losses),

@@ -343,15 +343,22 @@ def run_training(cfg: Config, stage: int):
     # Device-resident fast path: chunks of scan_steps per dispatch (see
     # train/fast_loop.py). Falls through to the per-step loop for the tail
     # and for all logging/checkpoint boundaries.
-    if cfg.scan_steps > 1:
+    chunk = cfg.scan_steps
+    if stage == 1:
+        chunk -= chunk % 2  # stage-1 executor scans step PAIRS
+    use_scan = cfg.scan_steps > 1 and chunk >= 2
+    if use_scan and stage == 1 and start % 2 != 0:
+        print("[TRAIN] note: stage-1 scan executor requires an even resume "
+              "step (pair-scan alternation); using the per-step loop")
+        use_scan = False
+    if use_scan:
         from pronerf_tpu.train.fast_loop import make_scan_executor
 
         executor = make_scan_executor(
-            cfg, H, W, focal, len(i_train), stage, cfg.scan_steps
+            cfg, H, W, focal, len(i_train), stage, chunk
         )
         base_key = jax.random.PRNGKey(cfg.seed + 987654321)
         i = start
-        chunk = cfg.scan_steps
         stride = chunk * cfg.N_rand
 
         def crossed(period, a, b):

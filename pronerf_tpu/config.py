@@ -103,6 +103,10 @@ class Config:
                                          # -1 auto (on when the packed view
                                          # exceeds the ~2.3MB gather cliff),
                                          # 0 off, >0 explicit
+    train_gather: int = -1               # training per-ray warp: -1 auto
+                                         # (per-view sub-cliff gathers when
+                                         # the all-views table is above the
+                                         # cliff), 0 all-views, 1 per-view
     seed: int = 0
 
     @classmethod

@@ -48,6 +48,7 @@ from pronerf_tpu.ops.warp import (
     epipolar_colors,
     epipolar_colors_shared,
     mean_fill_invalid,
+    per_view_gather_auto,
 )
 
 
@@ -98,6 +99,11 @@ class RenderStatics:
                                # tiles (0 = off; -1 = auto from H*W at
                                # renderer build). Full-res serving path.
     gather_window_rows: int = 0  # source-row band height per tile window
+    train_gather: int = -1     # training-path per-ray warp: -1 auto (one
+                               # sub-cliff gather per TRAINING VIEW when the
+                               # all-views u8 table exceeds the staging
+                               # cliff — fern scale), 0 all-views gather,
+                               # 1 force per-view. Exactness-equal paths.
     netarch: str = "nerf"     # radiance-field family: 'nerf' | 'donerf'
 
     # -- factories reproducing the reference's behavior matrix ------------
@@ -329,10 +335,23 @@ def render_rays(params, rays, scene, controls, statics: RenderStatics):
     # differentiated — the reference wraps this whole block in no_grad).
     if statics.randomize:
         view_idx = _select_neighbors(statics, rays, scene, controls)
-        colors = epipolar_colors(
-            scene["images"], scene["fused_mats"], scene["K"], view_idx,
-            rays["or_o"], rays["or_d"], jax.lax.stop_gradient(z3d),
-        )  # [N, V, S, 3]
+        imgs = scene["images"]
+        is_u8_pack = imgs.ndim == 4 and imgs.dtype == jnp.int32
+        per_view = (statics.train_gather == 1 and is_u8_pack) or (
+            statics.train_gather == -1 and per_view_gather_auto(imgs)
+        )
+        if per_view:
+            from pronerf_tpu.ops.warp import epipolar_colors_per_view
+
+            colors = epipolar_colors_per_view(
+                imgs, scene["fused_mats"], scene["K"], view_idx,
+                rays["or_o"], rays["or_d"], jax.lax.stop_gradient(z3d),
+            )  # [N, V, S, 3]
+        else:
+            colors = epipolar_colors(
+                imgs, scene["fused_mats"], scene["K"], view_idx,
+                rays["or_o"], rays["or_d"], jax.lax.stop_gradient(z3d),
+            )  # [N, V, S, 3]
     else:
         # Deterministic eval/inference: one shared view set -> compacted
         # single-view gathers (the TPU fast path; see

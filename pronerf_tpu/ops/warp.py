@@ -287,6 +287,66 @@ def epipolar_colors(images, fused_mats, K, view_idx, rays_o, rays_d, z3d):
     return bilinear_sample(images, vidx, xn, yn)
 
 
+# XLA's TPU gather emitter stages tables under roughly this size into fast
+# scratch memory and runs ~2-2.5x quicker (measured on v5e,
+# ``scripts/bench_gather2.py`` / ``bench_gather_fullres.py``); one 504x378
+# u8-packed view (2.29 MB) fits, two do not.
+GATHER_CLIFF_BYTES = 2_400_000
+
+
+def per_view_gather_auto(images) -> bool:
+    """Trace-time heuristic: should the per-ray training warp loop over
+    single-view sub-cliff tables instead of one all-views gather?
+
+    True when ``images`` is a :func:`build_corner_stack_u8` pack whose
+    all-views table exceeds :data:`GATHER_CLIFF_BYTES` while each view fits,
+    and the view count keeps the unrolled loop reasonable. Shapes are static
+    under jit, so this is a Python-level decision per compiled graph.
+    """
+    if images.ndim != 4 or images.dtype != jnp.int32:
+        return False
+    T, H, W, C = images.shape
+    per_view = H * W * C * 4
+    return T * per_view > GATHER_CLIFF_BYTES >= per_view and T <= 64
+
+
+def epipolar_colors_per_view(images, fused_mats, K, view_idx, rays_o, rays_d,
+                             z3d):
+    """Per-ray-view epipolar colors as one SUB-CLIFF gather per training view.
+
+    Numerically identical to :func:`epipolar_colors` (same projections, same
+    u8 bilinear unpack), restructured for big scenes: gathering [N, V, S]
+    points from the all-views table (fern scale: 17 views = 38.9 MB) runs at
+    the emitter's above-cliff rate, while T gathers of [N, S] points from
+    per-view 2.29 MB tables each stay on the fast path; the per-slot colors
+    are then mask-selected from the matching view's result. Extra work is
+    the T/V-fold projection + select (cheap VPU) traded against the gather
+    staging cliff. Training-path only (the deterministic shared-view paths
+    already compact per view).
+
+    Args:
+      images: int32 [T, H, W, 3] ``build_corner_stack_u8`` pack.
+      view_idx: [N, V] int per-ray neighbor view ids.
+      Other args as :func:`epipolar_colors`.
+
+    Returns: colors [N, V, S, 3].
+    """
+    import jax
+
+    T, H, W, _ = images.shape
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z3d[..., None]  # [N,S,3]
+    zero = jnp.zeros(z3d.shape, jnp.int32)
+    out = None
+    for v in range(T):
+        img_v = jax.lax.slice_in_dim(images, v, v + 1, axis=0)
+        xn, yn = project_points(pts, fused_mats[v], K, H, W)  # [N, S]
+        c = bilinear_sample_packed_u8(img_v, zero, xn, yn)  # [N, S, 3]
+        sel = (view_idx == v).astype(c.dtype)  # [N, V]
+        contrib = sel[:, :, None, None] * c[:, None, :, :]
+        out = contrib if out is None else out + contrib
+    return out
+
+
 def epipolar_colors_shared(images, fused_mats, K, view_ids, rays_o, rays_d,
                            z3d):
     """Epipolar colors when ALL rays share the same source views (the

@@ -62,6 +62,7 @@ def build_stage1_step_fns(cfg, H: int, W: int, focal: float):
         multires_views=cfg.multires_views,
         white_bkgd=cfg.white_bkgd,
         netarch=cfg.netarch,
+        train_gather=cfg.train_gather,
     )
     statics_sampler = RenderStatics.stage1_sampler(
         N_samples=cfg.N_samples,
@@ -71,6 +72,7 @@ def build_stage1_step_fns(cfg, H: int, W: int, focal: float):
         multires_views=cfg.multires_views,
         white_bkgd=cfg.white_bkgd,
         netarch=cfg.netarch,
+        train_gather=cfg.train_gather,
     )
 
     def nerf_step(state, scene, batch_rays, pose_ids, controls, lr):

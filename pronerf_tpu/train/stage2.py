@@ -52,6 +52,7 @@ def build_stage2_step_fn(cfg, H: int, W: int, focal: float):
         multires_views=cfg.multires_views,
         white_bkgd=cfg.white_bkgd,
         netarch=cfg.netarch,
+        train_gather=cfg.train_gather,
     )
     a_mmrgb = float(cfg.a_mmrgb)
 

@@ -213,6 +213,105 @@ def test_epipolar_colors_shared_matches_general():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_epipolar_colors_per_view_matches_general():
+    """The training-path per-view sub-cliff gather restructure must equal
+    epipolar_colors on the u8 pack for arbitrary per-ray view sets
+    (including duplicate slots)."""
+    import jax.numpy as jnp
+
+    from pronerf_tpu.ops.warp import (
+        build_corner_stack_u8,
+        epipolar_colors,
+        epipolar_colors_per_view,
+        fuse_projection,
+    )
+
+    rng = np.random.default_rng(11)
+    T, H, W, N, S, V = 7, 12, 16, 50, 8, 4
+    images = rng.random((T, H, W, 3)).astype(np.float32)
+    poses = np.stack([np.eye(3, 4, dtype=np.float32) for _ in range(T)])
+    poses[:, :3, 3] = rng.normal(0, 0.3, (T, 3))
+    K = np.array([[14.0, 0, W / 2], [0, 14.0, H / 2], [0, 0, 1]], np.float32)
+    M = fuse_projection(poses)
+    ro = rng.normal(0, 0.2, (N, 3)).astype(np.float32)
+    rd = rng.normal(0, 1, (N, 3)).astype(np.float32)
+    rd[:, 2] = -np.abs(rd[:, 2]) - 0.5
+    z = np.sort(rng.uniform(1.0, 6.0, (N, S)).astype(np.float32), -1)
+    view_idx = rng.integers(0, T, size=(N, V)).astype(np.int32)
+    view_idx[3] = [2, 2, 5, 2]  # duplicate slots must replicate the color
+
+    packed = build_corner_stack_u8(jnp.asarray(images))
+    a = epipolar_colors(packed, M, K, jnp.asarray(view_idx), ro, rd, z)
+    b = epipolar_colors_per_view(packed, M, K, jnp.asarray(view_idx), ro, rd, z)
+    assert a.shape == b.shape == (N, V, S, 3)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_per_view_gather_auto_heuristic():
+    """Auto rule: per-view training gathers only for u8-packed tables whose
+    all-views size crosses the staging cliff while one view fits."""
+    import jax.numpy as jnp
+
+    from pronerf_tpu.ops.warp import GATHER_CLIFF_BYTES, per_view_gather_auto
+
+    small = jnp.zeros((7, 60, 80, 3), jnp.int32)  # 403 KB total
+    assert not per_view_gather_auto(small)
+    fern = jnp.zeros((17, 378, 504, 3), jnp.int32)  # 38.9 MB / 2.29 MB per view
+    assert 378 * 504 * 12 <= GATHER_CLIFF_BYTES  # one view is sub-cliff...
+    assert per_view_gather_auto(fern)  # ...so the restructure applies
+    fullres = jnp.zeros((17, 756, 1008, 3), jnp.int32)  # 9.1 MB per view
+    assert not per_view_gather_auto(fullres)  # windows, not view loops, there
+    f32 = jnp.zeros((17, 378, 504, 12), jnp.float32)
+    assert not per_view_gather_auto(f32)  # u8 pack only
+
+
+def test_render_rays_training_per_view_gather_matches():
+    """End-to-end training-path equality: train_gather=1 (per-view) vs 0
+    (all-views gather) on a randomized stage-1 sampler step with rays from
+    different origin poses (distinct per-ray view sets)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pronerf_tpu.models import (
+        RenderStatics,
+        init_pronerf_params,
+        render_rays,
+    )
+    from pronerf_tpu.render import prepare_scene
+    from pronerf_tpu.render.raygen import rays_for_pose
+    from pronerf_tpu.utils.synthetic import make_scene
+
+    sc = make_scene(n_views=6, H=24, W=30, seed=4)
+    H, W, _ = sc["hwf"]
+    scene = prepare_scene(sc["images"], sc["poses"], sc["K"])
+    params = init_pronerf_params(jax.random.PRNGKey(0))
+    r0 = rays_for_pose(H, W, sc["K"], sc["poses"][0])
+    r3 = rays_for_pose(H, W, sc["K"], sc["poses"][3])
+    n = 48
+    rays = {k: jnp.concatenate([r0[k][:n], r3[k][:n]]) for k in r0}
+    rays["pose_id"] = jnp.concatenate(
+        [jnp.zeros((n,), jnp.int32), jnp.full((n,), 3, jnp.int32)]
+    )
+    controls = {
+        "rng": jax.random.PRNGKey(9),
+        "n_mult": jnp.int32(2),
+        "dir_expand": jnp.asarray(True),
+        "dir_jitter": jnp.asarray(True),
+        "neighbor_subset": jnp.asarray([0, 2, 3, 4], jnp.int32),
+        "target_t": scene["poses_t"][0],
+    }
+    outs = [
+        render_rays(params, rays, scene, controls,
+                    RenderStatics.stage1_sampler(train_gather=tg))
+        for tg in (0, 1)
+    ]
+    for k in ("rgb0", "rgb1", "mm_rgb", "depth"):
+        np.testing.assert_allclose(
+            np.asarray(outs[0][k]), np.asarray(outs[1][k]), atol=1e-6,
+            err_msg=k,
+        )
+
+
 def test_windowed_shared_gather_matches_global():
     """The per-tile dynamic source-row window gather (full-res serving
     path) must equal epipolar_colors_shared exactly when windows cover

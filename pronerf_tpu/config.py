@@ -107,6 +107,10 @@ class Config:
                                          # (per-view sub-cliff gathers when
                                          # the all-views table is above the
                                          # cliff), 0 all-views, 1 per-view
+    gather_split: bool = False           # serving u8 gathers as 3 rank-1
+                                         # word takes instead of one [P,3]
+                                         # row take (bit-identical; A/B by
+                                         # bench_gather_split.py)
     seed: int = 0
 
     @classmethod

@@ -99,6 +99,11 @@ class RenderStatics:
                                # tiles (0 = off; -1 = auto from H*W at
                                # renderer build). Full-res serving path.
     gather_window_rows: int = 0  # source-row band height per tile window
+    gather_split: bool = False  # serving u8 gathers as three rank-1 word
+                                # takes (no [P, 3] relayout) instead of one
+                                # [P, 3] row take — bit-identical; which is
+                                # faster is measured per operating point
+                                # (scripts/bench_gather_split.py)
     train_gather: int = -1     # training-path per-ray warp: -1 auto (one
                                # sub-cliff gather per TRAINING VIEW when the
                                # all-views u8 table exceeds the staging
@@ -371,11 +376,14 @@ def render_rays(params, rays, scene, controls, statics: RenderStatics):
                 imgs, scene["fused_mats"], scene["K"], nearest,
                 rays["or_o"], rays["or_d"], jax.lax.stop_gradient(z3d),
                 statics.gather_tiles, statics.gather_window_rows,
+                split=statics.gather_split,
             )
         else:
+            is_u8 = imgs.ndim == 4 and imgs.dtype == jnp.int32
             colors = epipolar_colors_shared(
                 imgs, scene["fused_mats"], scene["K"], nearest,
                 rays["or_o"], rays["or_d"], jax.lax.stop_gradient(z3d),
+                split=statics.gather_split and is_u8,
             )  # [N, V, S, 3]
     colors = mean_fill_invalid(colors)
     colors = jax.lax.stop_gradient(colors)

@@ -148,6 +148,44 @@ def bilinear_sample_packed_u8(packed, view_idx, xn, yn):
     return out * inb[..., None].astype(out.dtype)
 
 
+def bilinear_sample_packed_u8_split(packed, view_idx, xn, yn):
+    """:func:`bilinear_sample_packed_u8` with the [P, 3] row gather split
+    into THREE rank-1 word gathers.
+
+    Motivation (v5e, DESIGN.md): the row-gather form keeps the emitter's
+    fast path but its [P, 3] int32 result tiles with 3 of 128 lanes used,
+    and XLA inserts relayout copies (~17 ms/frame at 1008x756). A rank-1
+    [P] result is fully lane-packed — no relayout — at the price of 3x the
+    index processing. Which side wins is measured per operating point
+    (``scripts/bench_gather_split.py``); selected by
+    ``RenderStatics.gather_split``. Results are bit-identical.
+    """
+    T, H, W, _ = packed.shape
+    inb = (xn >= -1.0) & (xn <= 1.0) & (yn >= -1.0) & (yn <= 1.0)
+    u = jnp.clip((xn + 1.0) * 0.5 * (W - 1), 0.0, W - 1)
+    v = jnp.clip((yn + 1.0) * 0.5 * (H - 1), 0.0, H - 1)
+    x0 = jnp.floor(u).astype(jnp.int32)
+    y0 = jnp.floor(v).astype(jnp.int32)
+    wx = u - x0.astype(u.dtype)
+    wy = v - y0.astype(v.dtype)
+    ix = view_idx.astype(jnp.int32) * (H * W) + y0 * W + x0
+    flat = packed.reshape(T * H * W, 3)
+    inb_f = inb.astype(jnp.float32)
+    chans = []
+    for k in range(3):
+        w = jnp.take(flat[:, k], ix).astype(jnp.uint32)
+        # scale-then-lerp in the same order as the row-gather path so the
+        # two are bit-identical, not merely close
+        c00 = (w & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
+        c01 = ((w >> 8) & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
+        c10 = ((w >> 16) & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
+        c11 = ((w >> 24) & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
+        top = c00 * (1.0 - wx) + c01 * wx
+        bot = c10 * (1.0 - wx) + c11 * wx
+        chans.append((top * (1.0 - wy) + bot * wy) * inb_f)
+    return jnp.stack(chans, axis=-1)
+
+
 def build_rgb_word_u8(images):
     """Whole-pixel u8 pack for nearest-neighbor warping: int32 [T, H, W]
     with r | g<<8 | b<<16. ONE gathered element per sample point."""
@@ -348,7 +386,7 @@ def epipolar_colors_per_view(images, fused_mats, K, view_idx, rays_o, rays_d,
 
 
 def epipolar_colors_shared(images, fused_mats, K, view_ids, rays_o, rays_d,
-                           z3d):
+                           z3d, split: bool = False):
     """Epipolar colors when ALL rays share the same source views (the
     deterministic eval/inference selection, ``run_S_eS_eN_alter_trt.py:281-284``).
 
@@ -388,6 +426,8 @@ def epipolar_colors_shared(images, fused_mats, K, view_ids, rays_o, rays_d,
         zero = jnp.zeros(xn.shape, jnp.int32)
         if images.dtype == jnp.int32 and images.ndim == 3:
             c = nearest_sample_packed_u8(img_v, zero, xn, yn)
+        elif images.dtype == jnp.int32 and split:
+            c = bilinear_sample_packed_u8_split(img_v, zero, xn, yn)
         elif images.dtype == jnp.int32:
             c = bilinear_sample_packed_u8(img_v, zero, xn, yn)
         elif C == 12:
@@ -400,7 +440,7 @@ def epipolar_colors_shared(images, fused_mats, K, view_ids, rays_o, rays_d,
 
 def epipolar_colors_shared_windowed(
     images, fused_mats, K, view_ids, rays_o, rays_d, z3d,
-    n_tiles: int, window_rows: int,
+    n_tiles: int, window_rows: int, split: bool = False,
 ):
     """Shared-view epipolar colors through per-tile SOURCE-ROW WINDOWS —
     the full-resolution serving path.
@@ -487,11 +527,28 @@ def epipolar_colors_shared_windowed(
             ).reshape(-1, 3)
             y_loc = y0_t - start
             hit = inb_t & (y_loc >= 0) & (y_loc < wr)
-            rows = jnp.take(
-                win,
-                jnp.clip(y_loc, 0, wr - 1) * W + x0[sl],
-                axis=0,
-            ).astype(jnp.uint32)
+            idx_t = jnp.clip(y_loc, 0, wr - 1) * W + x0[sl]
+            if split:
+                # three rank-1 word gathers (fully lane-packed results, no
+                # [P, 3] relayout) — see bilinear_sample_packed_u8_split
+                wxs, wys = wx[sl][..., 0], wy[sl][..., 0]
+                hit_f = hit.astype(jnp.float32)
+                chans = []
+                for k in range(3):
+                    w = jnp.take(win[:, k], idx_t).astype(jnp.uint32)
+                    c00 = (w & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
+                    c01 = ((w >> 8) & 0xFF).astype(jnp.float32) * (
+                        1.0 / 255.0)
+                    c10 = ((w >> 16) & 0xFF).astype(jnp.float32) * (
+                        1.0 / 255.0)
+                    c11 = ((w >> 24) & 0xFF).astype(jnp.float32) * (
+                        1.0 / 255.0)
+                    top = c00 * (1.0 - wxs) + c01 * wxs
+                    bot = c10 * (1.0 - wxs) + c11 * wxs
+                    chans.append((top * (1.0 - wys) + bot * wys) * hit_f)
+                tile_cols.append(jnp.stack(chans, axis=-1))
+                continue
+            rows = jnp.take(win, idx_t, axis=0).astype(jnp.uint32)
 
             def lane(shift):
                 return ((rows >> shift) & 0xFF).astype(jnp.float32) * (

@@ -83,6 +83,7 @@ def _infer_statics(cfg: Config, use_bf16: bool) -> RenderStatics:
         compute_dtype="bfloat16" if use_bf16 else cfg.compute_dtype,
         use_pallas=cfg.use_pallas and cfg.netarch == "nerf",
         gather_tiles=cfg.gather_tiles,
+        gather_split=cfg.gather_split,
         netarch=cfg.netarch,
         N_samples=cfg.N_samples,
         N_point_ray_enc=cfg.N_point_ray_enc,

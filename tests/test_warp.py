@@ -362,6 +362,90 @@ def test_windowed_shared_gather_matches_global():
     assert hit.mean() > 0.1  # windows are not degenerate
 
 
+def test_split_word_gather_bit_identical():
+    """gather_split (three rank-1 word takes instead of one [P, 3] row
+    take — the full-res relayout experiment) must be BIT-identical to the
+    row-gather form on both the shared and the windowed serving paths."""
+    import jax.numpy as jnp
+
+    from pronerf_tpu.ops.warp import (
+        build_corner_stack_u8,
+        epipolar_colors_shared,
+        epipolar_colors_shared_windowed,
+        fuse_projection,
+    )
+    from pronerf_tpu.render.raygen import rays_for_pose
+    from pronerf_tpu.utils.synthetic import make_scene
+
+    sc = make_scene(n_views=6, H=40, W=48, seed=0)
+    H, W, _ = sc["hwf"]
+    packed = build_corner_stack_u8(jnp.asarray(sc["images"]))
+    mats = fuse_projection(jnp.asarray(sc["poses"]))
+    K = jnp.asarray(sc["K"])
+    rays = rays_for_pose(H, W, sc["K"], sc["poses"][0])
+    rng = np.random.default_rng(1)
+    z3d = jnp.asarray(
+        np.sort(rng.uniform(1.0, 6.0, size=(H * W, 8)), axis=-1),
+        jnp.float32,
+    )
+    view_ids = jnp.asarray([1, 2, 3, 4], jnp.int32)
+
+    row = epipolar_colors_shared(
+        packed, mats, K, view_ids, rays["or_o"], rays["or_d"], z3d
+    )
+    split = epipolar_colors_shared(
+        packed, mats, K, view_ids, rays["or_o"], rays["or_d"], z3d,
+        split=True,
+    )
+    np.testing.assert_array_equal(np.asarray(split), np.asarray(row))
+    assert float(np.abs(np.asarray(row)).sum()) > 0
+
+    row_w = epipolar_colors_shared_windowed(
+        packed, mats, K, view_ids, rays["or_o"], rays["or_d"], z3d,
+        n_tiles=4, window_rows=12,
+    )
+    split_w = epipolar_colors_shared_windowed(
+        packed, mats, K, view_ids, rays["or_o"], rays["or_d"], z3d,
+        n_tiles=4, window_rows=12, split=True,
+    )
+    np.testing.assert_array_equal(np.asarray(split_w), np.asarray(row_w))
+
+
+def test_render_rays_gather_split_statics_match():
+    """The gather_split static threads through render_rays unchanged:
+    deterministic serving output is identical either way (it is the same
+    math, different gather emission)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pronerf_tpu.models import init_pronerf_params
+    from pronerf_tpu.models.pronerf import RenderStatics, render_rays
+    from pronerf_tpu.render.raygen import prepare_scene, rays_for_pose
+    from pronerf_tpu.utils.synthetic import make_scene
+
+    sc = make_scene(n_views=5, H=24, W=32, seed=0)
+    H, W, _ = sc["hwf"]
+    scene = prepare_scene(sc["images"], sc["poses"], sc["K"])
+    params = init_pronerf_params(jax.random.PRNGKey(0))
+    rays = rays_for_pose(H, W, sc["K"], sc["poses"][0])
+    rays = {k: v[: 64] for k, v in rays.items()}
+    controls = {
+        "rng": jax.random.PRNGKey(0),
+        "target_t": jnp.asarray(sc["poses"][0])[:3, 3],
+    }
+    import dataclasses
+
+    base = RenderStatics.infer()
+    out_row = render_rays(params, rays, scene, controls, base)
+    out_split = render_rays(
+        params, rays, scene, controls,
+        dataclasses.replace(base, gather_split=True),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_row["rgb1"]), np.asarray(out_split["rgb1"])
+    )
+
+
 def test_resolve_gather_statics_auto():
     from pronerf_tpu.models import RenderStatics
     from pronerf_tpu.render.renderer import resolve_gather_statics

@@ -351,11 +351,13 @@ def render_rays(params, rays, scene, controls, statics: RenderStatics):
             colors = epipolar_colors_per_view(
                 imgs, scene["fused_mats"], scene["K"], view_idx,
                 rays["or_o"], rays["or_d"], jax.lax.stop_gradient(z3d),
+                split=statics.gather_split,
             )  # [N, V, S, 3]
         else:
             colors = epipolar_colors(
                 imgs, scene["fused_mats"], scene["K"], view_idx,
                 rays["or_o"], rays["or_d"], jax.lax.stop_gradient(z3d),
+                split=statics.gather_split and is_u8_pack,
             )  # [N, V, S, 3]
     else:
         # Deterministic eval/inference: one shared view set -> compacted

@@ -293,7 +293,8 @@ def bilinear_sample(images, view_idx, xn, yn):
     return out * inb[..., None].astype(out.dtype)
 
 
-def epipolar_colors(images, fused_mats, K, view_idx, rays_o, rays_d, z3d):
+def epipolar_colors(images, fused_mats, K, view_idx, rays_o, rays_d, z3d,
+                    split: bool = False):
     """Colors of candidate sample points as seen from per-ray neighbor views.
 
     Args:
@@ -318,6 +319,8 @@ def epipolar_colors(images, fused_mats, K, view_idx, rays_o, rays_d, z3d):
     vidx = jnp.broadcast_to(view_idx[:, :, None], xn.shape)
     if images.dtype == jnp.int32 and images.ndim == 3:
         return nearest_sample_packed_u8(images, vidx, xn, yn)
+    if images.dtype == jnp.int32 and split:
+        return bilinear_sample_packed_u8_split(images, vidx, xn, yn)
     if images.dtype == jnp.int32:
         return bilinear_sample_packed_u8(images, vidx, xn, yn)
     if C == 12:
@@ -349,7 +352,7 @@ def per_view_gather_auto(images) -> bool:
 
 
 def epipolar_colors_per_view(images, fused_mats, K, view_idx, rays_o, rays_d,
-                             z3d):
+                             z3d, split: bool = False):
     """Per-ray-view epipolar colors as one SUB-CLIFF gather per training view.
 
     Numerically identical to :func:`epipolar_colors` (same projections, same
@@ -375,10 +378,12 @@ def epipolar_colors_per_view(images, fused_mats, K, view_idx, rays_o, rays_d,
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z3d[..., None]  # [N,S,3]
     zero = jnp.zeros(z3d.shape, jnp.int32)
     out = None
+    sample = (bilinear_sample_packed_u8_split if split
+              else bilinear_sample_packed_u8)
     for v in range(T):
         img_v = jax.lax.slice_in_dim(images, v, v + 1, axis=0)
         xn, yn = project_points(pts, fused_mats[v], K, H, W)  # [N, S]
-        c = bilinear_sample_packed_u8(img_v, zero, xn, yn)  # [N, S, 3]
+        c = sample(img_v, zero, xn, yn)  # [N, S, 3]
         sel = (view_idx == v).astype(c.dtype)  # [N, V]
         contrib = sel[:, :, None, None] * c[:, None, :, :]
         out = contrib if out is None else out + contrib

@@ -107,6 +107,10 @@ def main():
 
     timed("warp_allviews_38.9MB", warp_step(epipolar_colors))
     timed("warp_per_view_17x2.29MB", warp_step(epipolar_colors_per_view))
+    timed("warp_allviews_split3", warp_step(
+        lambda *a: epipolar_colors(*a, split=True)))
+    timed("warp_per_view_split3", warp_step(
+        lambda *a: epipolar_colors_per_view(*a, split=True)))
 
     # raw gathers at matched index counts, to separate gather cost from
     # the projection/select overhead

@@ -410,6 +410,29 @@ def test_split_word_gather_bit_identical():
     )
     np.testing.assert_array_equal(np.asarray(split_w), np.asarray(row_w))
 
+    # training per-ray paths, same contract
+    from pronerf_tpu.ops.warp import epipolar_colors, epipolar_colors_per_view
+
+    view_idx = jnp.asarray(
+        np.random.default_rng(2).integers(0, 6, size=(H * W, 4)), jnp.int32
+    )
+    row_t = epipolar_colors(
+        packed, mats, K, view_idx, rays["or_o"], rays["or_d"], z3d
+    )
+    split_t = epipolar_colors(
+        packed, mats, K, view_idx, rays["or_o"], rays["or_d"], z3d,
+        split=True,
+    )
+    np.testing.assert_array_equal(np.asarray(split_t), np.asarray(row_t))
+    row_pv = epipolar_colors_per_view(
+        packed, mats, K, view_idx, rays["or_o"], rays["or_d"], z3d
+    )
+    split_pv = epipolar_colors_per_view(
+        packed, mats, K, view_idx, rays["or_o"], rays["or_d"], z3d,
+        split=True,
+    )
+    np.testing.assert_array_equal(np.asarray(split_pv), np.asarray(row_pv))
+
 
 def test_render_rays_gather_split_statics_match():
     """The gather_split static threads through render_rays unchanged:

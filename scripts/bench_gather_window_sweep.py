@@ -12,7 +12,9 @@ window COVERAGE (fraction of in-bounds projections the band catches —
 coverage 1.0 means bit-exact vs the unwindowed gather), so the serving
 default is set by measurement, not arithmetic.
 
-Usage: python scripts/bench_gather_window_sweep.py  (TPU, ~5 min)
+Usage: python scripts/bench_gather_window_sweep.py [--split]  (TPU, ~15 min)
+  --split: sweep the split-word gather form (bench_gather_split.py decides
+  which form wins; the optimum (tiles, rows) may differ between forms)
 """
 
 from __future__ import annotations
@@ -26,6 +28,8 @@ import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
+SPLIT = "--split" in sys.argv
+
 
 def main():
     import jax
@@ -35,10 +39,9 @@ def main():
         epipolar_colors_shared,
         epipolar_colors_shared_windowed,
     )
-    from pronerf_tpu.render import prepare_scene
+    from pronerf_tpu.render.raygen import prepare_scene, rays_for_pose
     from pronerf_tpu.render.renderer import resolve_gather_statics
     from pronerf_tpu.models.pronerf import RenderStatics
-    from pronerf_tpu.ops.rays import rays_for_pose
     from pronerf_tpu.utils.profiling import readback
     from pronerf_tpu.utils.synthetic import make_scene
 
@@ -68,12 +71,21 @@ def main():
     print(json.dumps({"dispatch_null_ms": round(null, 2), "n_rays": N}),
           flush=True)
 
-    # ground truth for coverage: the unwindowed shared gather
-    ref_fn = jax.jit(lambda z: epipolar_colors_shared(
-        imgs, M, K, view_ids, ro, rd, z))
-    ref = np.asarray(ref_fn(z3d))
+    # Coverage is computed ON DEVICE against the unwindowed gather (the
+    # color arrays are ~300 MB — never read them back through the tunnel):
+    # fraction of ref-in-bounds points (nonzero ref color) whose windowed
+    # color matches to 1e-6. coverage 1.0 => bit-exact vs unwindowed.
+    def coverage_stat(fn):
+        @jax.jit
+        def cov(z):
+            ref = epipolar_colors_shared(imgs, M, K, view_ids, ro, rd, z)
+            out = fn(z)
+            nz = jnp.abs(ref).sum(-1) > 0
+            ok = (jnp.abs(out - ref).sum(-1) < 1e-6) & nz
+            return ok.sum() / jnp.maximum(nz.sum(), 1)
+        return float(cov(z3d))
 
-    def timed(name, fn, iters=6, reps=3):
+    def timed(name, fn, iters=6, reps=3, with_cov=True):
         try:
             @jax.jit
             def loop(c):
@@ -90,34 +102,36 @@ def main():
                 readback(loop(jnp.float32(0.0)))
                 ts.append((time.perf_counter() - t0) * 1e3)
             ms = (float(np.median(ts)) - null) / iters
-            out = np.asarray(jax.jit(fn)(z3d))
-            nz = np.abs(ref).sum(-1) > 0  # in-bounds points in the ref
-            cov = float((np.abs(out - ref).sum(-1)[nz] < 1e-6).mean())
-            print(json.dumps({"variant": name, "ms": round(ms, 3),
-                              "coverage": round(cov, 5)}), flush=True)
+            rec = {"variant": name, "ms": round(ms, 3)}
+            if with_cov:
+                rec["coverage"] = round(coverage_stat(fn), 5)
+            print(json.dumps(rec), flush=True)
             return ms
         except Exception as e:  # noqa: BLE001
             print(json.dumps({"variant": name, "error": str(e)[:200]}),
                   flush=True)
             return None
 
-    auto = resolve_gather_statics(RenderStatics(), H, W, N)
+    import dataclasses
+
+    auto = resolve_gather_statics(
+        dataclasses.replace(RenderStatics(), gather_tiles=-1), H, W, N)
     print(json.dumps({"auto_tiles": auto.gather_tiles,
                       "auto_window_rows": auto.gather_window_rows}),
           flush=True)
 
     timed("unwindowed_9.1MB", lambda z: epipolar_colors_shared(
-        imgs, M, K, view_ids, ro, rd, z))
+        imgs, M, K, view_ids, ro, rd, z), with_cov=False)
 
     grid = []
-    for wr in (auto.gather_window_rows, 128, 96, 256):
-        for nt in (4, 6, 8, 12, 16, 24, 32):
+    for wr in (auto.gather_window_rows, 128, 256):
+        for nt in (4, 8, 16, 32):
             if (wr, nt) not in grid:
                 grid.append((wr, nt))
     for wr, nt in grid:
-        timed(f"wr{wr}_tiles{nt}",
+        timed(f"wr{wr}_tiles{nt}" + ("_split" if SPLIT else ""),
               lambda z, nt=nt, wr=wr: epipolar_colors_shared_windowed(
-                  imgs, M, K, view_ids, ro, rd, z, nt, wr))
+                  imgs, M, K, view_ids, ro, rd, z, nt, wr, split=SPLIT))
 
 
 if __name__ == "__main__":

@@ -109,8 +109,9 @@ class Config:
                                          # cliff), 0 all-views, 1 per-view
     gather_split: bool = False           # serving u8 gathers as 3 rank-1
                                          # word takes instead of one [P,3]
-                                         # row take (bit-identical; A/B by
-                                         # bench_gather_split.py)
+                                         # row take. Measured 3-7x slower on
+                                         # v5e (bench_gather_split.py) —
+                                         # documented negative-result knob
     seed: int = 0
 
     @classmethod

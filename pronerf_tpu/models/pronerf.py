@@ -101,9 +101,10 @@ class RenderStatics:
     gather_window_rows: int = 0  # source-row band height per tile window
     gather_split: bool = False  # serving u8 gathers as three rank-1 word
                                 # takes (no [P, 3] relayout) instead of one
-                                # [P, 3] row take — bit-identical; which is
-                                # faster is measured per operating point
-                                # (scripts/bench_gather_split.py)
+                                # [P, 3] row take. MEASURED 3-7x SLOWER on
+                                # v5e (the fast gather path only fires for
+                                # row takes; scripts/bench_gather_split.py)
+                                # — kept as the documented A/B knob
     train_gather: int = -1     # training-path per-ray warp: -1 auto (one
                                # sub-cliff gather per TRAINING VIEW when the
                                # all-views u8 table exceeds the staging

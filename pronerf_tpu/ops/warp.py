@@ -156,9 +156,15 @@ def bilinear_sample_packed_u8_split(packed, view_idx, xn, yn):
     fast path but its [P, 3] int32 result tiles with 3 of 128 lanes used,
     and XLA inserts relayout copies (~17 ms/frame at 1008x756). A rank-1
     [P] result is fully lane-packed — no relayout — at the price of 3x the
-    index processing. Which side wins is measured per operating point
-    (``scripts/bench_gather_split.py``); selected by
-    ``RenderStatics.gather_split``. Results are bit-identical.
+    index processing. Results match (bit-identical on CPU; <=3e-7 on TPU
+    where fusion reorders the lerp).
+
+    MEASURED NEGATIVE RESULT (v5e, ``scripts/bench_gather_split.py``): the
+    emitter's fast path does NOT fire for rank-1 takes — raw split gathers
+    ran 6x SLOWER (189 vs 31 ms per 6.1 M indices) and every in-graph
+    variant 3-7x slower. The [P, 3] row gather + relayout is the optimum
+    XLA currently offers; ``RenderStatics.gather_split`` stays as the
+    measured A/B knob (default off).
     """
     T, H, W, _ = packed.shape
     inb = (xn >= -1.0) & (xn <= 1.0) & (yn >= -1.0) & (yn <= 1.0)

@@ -104,9 +104,10 @@ class Config:
                                          # exceeds the ~2.3MB gather cliff),
                                          # 0 off, >0 explicit
     train_gather: int = -1               # training per-ray warp: -1 auto
-                                         # (per-view sub-cliff gathers when
-                                         # the all-views table is above the
-                                         # cliff), 0 all-views, 1 per-view
+                                         # (= all-views gather; the per-view
+                                         # form measured 13x slower at train
+                                         # index volumes), 0 all-views,
+                                         # 1 per-view (A/B opt-in)
     gather_split: bool = False           # serving u8 gathers as 3 rank-1
                                          # word takes instead of one [P,3]
                                          # row take. Measured 3-7x slower on

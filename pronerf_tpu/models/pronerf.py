@@ -105,11 +105,12 @@ class RenderStatics:
                                 # v5e (the fast gather path only fires for
                                 # row takes; scripts/bench_gather_split.py)
                                 # — kept as the documented A/B knob
-    train_gather: int = -1     # training-path per-ray warp: -1 auto (one
-                               # sub-cliff gather per TRAINING VIEW when the
-                               # all-views u8 table exceeds the staging
-                               # cliff — fern scale), 0 all-views gather,
-                               # 1 force per-view. Exactness-equal paths.
+    train_gather: int = -1     # training-path per-ray warp: -1 auto
+                               # (= all-views gather: the per-view sub-cliff
+                               # form MEASURED 13x slower at training index
+                               # volumes, scripts/bench_gather_train.py),
+                               # 0 all-views, 1 force per-view (A/B knob).
+                               # Exactness-equal paths.
     netarch: str = "nerf"     # radiance-field family: 'nerf' | 'donerf'
 
     # -- factories reproducing the reference's behavior matrix ------------

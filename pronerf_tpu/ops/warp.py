@@ -342,19 +342,21 @@ GATHER_CLIFF_BYTES = 2_400_000
 
 
 def per_view_gather_auto(images) -> bool:
-    """Trace-time heuristic: should the per-ray training warp loop over
-    single-view sub-cliff tables instead of one all-views gather?
+    """Trace-time policy for ``train_gather=-1`` (auto): always the single
+    all-views gather.
 
-    True when ``images`` is a :func:`build_corner_stack_u8` pack whose
-    all-views table exceeds :data:`GATHER_CLIFF_BYTES` while each view fits,
-    and the view count keeps the unrolled loop reasonable. Shapes are static
-    under jit, so this is a Python-level decision per compiled graph.
+    The per-view restructure was hypothesised to win at fern scale (17-view
+    38.9 MB table above the staging cliff), but the TPU A/B
+    (``scripts/bench_gather_train.py``) falsified it: at training index
+    volumes (4096 rays x 4 views x 8 samples = 131k indices) the all-views
+    warp costs 0.35 ms against 4.7 ms for the per-view loop — the cliff's
+    2x per-index rate only matters at serving's millions of indices, while
+    the T-fold projection + mask-select overhead is paid regardless. Auto
+    therefore never selects per-view; ``train_gather=1`` remains the
+    explicit opt-in for re-measurement on other hardware.
     """
-    if images.ndim != 4 or images.dtype != jnp.int32:
-        return False
-    T, H, W, C = images.shape
-    per_view = H * W * C * 4
-    return T * per_view > GATHER_CLIFF_BYTES >= per_view and T <= 64
+    del images
+    return False
 
 
 def epipolar_colors_per_view(images, fused_mats, K, view_idx, rays_o, rays_d,
@@ -362,14 +364,17 @@ def epipolar_colors_per_view(images, fused_mats, K, view_idx, rays_o, rays_d,
     """Per-ray-view epipolar colors as one SUB-CLIFF gather per training view.
 
     Numerically identical to :func:`epipolar_colors` (same projections, same
-    u8 bilinear unpack), restructured for big scenes: gathering [N, V, S]
-    points from the all-views table (fern scale: 17 views = 38.9 MB) runs at
-    the emitter's above-cliff rate, while T gathers of [N, S] points from
-    per-view 2.29 MB tables each stay on the fast path; the per-slot colors
-    are then mask-selected from the matching view's result. Extra work is
-    the T/V-fold projection + select (cheap VPU) traded against the gather
-    staging cliff. Training-path only (the deterministic shared-view paths
-    already compact per view).
+    u8 bilinear unpack), restructured so T gathers of [N, S] points from
+    per-view 2.29 MB sub-cliff tables replace one [N, V, S] gather from the
+    all-views table (fern scale: 17 views = 38.9 MB); the per-slot colors
+    are mask-selected from the matching view's result.
+
+    MEASURED NEGATIVE RESULT (v5e, ``scripts/bench_gather_train.py``): at
+    training index volumes this is ~13x SLOWER than the all-views gather
+    (4.7 vs 0.35 ms at 4096x4x8) — the above-cliff per-index rate penalty
+    is negligible at 131k indices while the T-fold projection + select is
+    not. Kept as the ``train_gather=1`` opt-in for re-measurement on other
+    hardware; never selected by auto.
 
     Args:
       images: int32 [T, H, W, 3] ``build_corner_stack_u8`` pack.

@@ -247,22 +247,23 @@ def test_epipolar_colors_per_view_matches_general():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_per_view_gather_auto_heuristic():
-    """Auto rule: per-view training gathers only for u8-packed tables whose
-    all-views size crosses the staging cliff while one view fits."""
+def test_per_view_gather_auto_never_fires():
+    """Auto (`train_gather=-1`) always resolves to the all-views gather: the
+    per-view restructure was MEASURED 13x slower at training index volumes
+    (scripts/bench_gather_train.py) and survives only as the explicit
+    `train_gather=1` opt-in."""
     import jax.numpy as jnp
 
-    from pronerf_tpu.ops.warp import GATHER_CLIFF_BYTES, per_view_gather_auto
+    from pronerf_tpu.ops.warp import per_view_gather_auto
 
     small = jnp.zeros((7, 60, 80, 3), jnp.int32)  # 403 KB total
     assert not per_view_gather_auto(small)
-    fern = jnp.zeros((17, 378, 504, 3), jnp.int32)  # 38.9 MB / 2.29 MB per view
-    assert 378 * 504 * 12 <= GATHER_CLIFF_BYTES  # one view is sub-cliff...
-    assert per_view_gather_auto(fern)  # ...so the restructure applies
-    fullres = jnp.zeros((17, 756, 1008, 3), jnp.int32)  # 9.1 MB per view
-    assert not per_view_gather_auto(fullres)  # windows, not view loops, there
+    fern = jnp.zeros((17, 378, 504, 3), jnp.int32)  # the falsified case
+    assert not per_view_gather_auto(fern)
+    fullres = jnp.zeros((17, 756, 1008, 3), jnp.int32)
+    assert not per_view_gather_auto(fullres)
     f32 = jnp.zeros((17, 378, 504, 12), jnp.float32)
-    assert not per_view_gather_auto(f32)  # u8 pack only
+    assert not per_view_gather_auto(f32)
 
 
 def test_render_rays_training_per_view_gather_matches():

@@ -55,8 +55,10 @@ def make_scan_executor(cfg, H: int, W: int, focal: float, n_train: int,
     """Build a jitted (state, pool, pool_ids, i_batch0, base_key) ->
     (state, metrics) executor running ``scan_steps`` consecutive steps.
 
-    The caller guarantees i_batch0 + scan_steps * N_rand <= len(pool)
-    (reshuffle between chunks, same as the per-step loop).
+    The caller reshuffles the pool between chunks (same as the per-step
+    loop). When the pool holds fewer than ``scan_steps`` batches, the
+    in-chunk batch index wraps modulo the pool's capacity (see
+    ``_one_step``) — the driver prints a loud note in that case.
     """
     from pronerf_tpu.train.stage1 import build_stage1_step_fns
     from pronerf_tpu.train.stage2 import build_stage2_step_fn
@@ -75,12 +77,17 @@ def make_scan_executor(cfg, H: int, W: int, focal: float, n_train: int,
                   base_key):
         # iteration number i (1-based like the reference loop)
         i = state["global_step"] + 1
-        batch = jax.lax.dynamic_slice_in_dim(
-            pool, i_batch0 + k * n_rand, n_rand
-        )
-        bids = jax.lax.dynamic_slice_in_dim(
-            pool_ids, i_batch0 + k * n_rand, n_rand
-        )
+        # Wrap the in-chunk batch index modulo the pool's batch capacity:
+        # dynamic_slice CLAMPS out-of-range starts, so without the wrap a
+        # chunk longer than the pool would silently retrain most steps on
+        # the pool's final window (seen as stage-2 divergence on the 80x60
+        # soak scene: 33.6k-ray pool vs 50*4096 stride). When the pool
+        # holds the whole chunk (the fern-scale case) the wrap is a no-op
+        # and slicing matches the reference's sequential epochs exactly.
+        n_batches = max(pool.shape[0] // n_rand, 1)
+        start = i_batch0 + (k % n_batches) * n_rand
+        batch = jax.lax.dynamic_slice_in_dim(pool, start, n_rand)
+        bids = jax.lax.dynamic_slice_in_dim(pool_ids, start, n_rand)
         controls = _draw_device_controls(
             base_key, i, n_train, cfg.num_neighbor, max_mult
         )

@@ -344,6 +344,17 @@ def run_training(cfg: Config, stage: int):
     # train/fast_loop.py). Falls through to the per-step loop for the tail
     # and for all logging/checkpoint boundaries.
     chunk = cfg.scan_steps
+    pool_batches = pool.shape[0] // cfg.N_rand
+    if chunk > pool_batches > 0:
+        # The executor wraps the in-chunk batch index modulo the pool's
+        # batch capacity (see fast_loop._one_step): each chunk cycles the
+        # whole (freshly reshuffled) pool ~chunk/pool_batches times. Loud
+        # because it deviates from the reference's strictly-per-epoch
+        # reshuffle on scenes this small.
+        print(f"[TRAIN] note: ray pool holds only {pool_batches} batches "
+              f"of {cfg.N_rand}; each {chunk}-step scan chunk cycles the "
+              f"reshuffled pool ~{chunk / pool_batches:.1f}x (in-chunk "
+              f"epoch wrap)")
     if stage == 1:
         chunk -= chunk % 2  # stage-1 executor scans step PAIRS
     use_scan = cfg.scan_steps > 1 and chunk >= 2

@@ -157,6 +157,25 @@ def test_scan_steps_cli_smoke(workdir, capsys):
     assert ckpts and ckpts[-1].name == "000010.ckpt"
 
 
+def test_scan_chunk_wraps_small_pool(workdir, capsys):
+    """A scan chunk longer than the pool's batch capacity must WRAP the
+    in-chunk batch index: dynamic_slice CLAMPS an out-of-range start, so
+    the unwrapped executor silently retrained most chunk steps on the
+    pool's final N_rand window (seen as stage-2 divergence on the 80x60
+    soak scene). The driver prints a loud note when the wrap engages."""
+    main(
+        ["train-stage1", "--no-reload", "--max-steps", "24", "--",
+         "--datadir", "synthetic:24x20x6",  # pool: 5 views * 480 rays
+         "--basedir", str(workdir), "--expname", "s1_wrap",
+         "--N_rand", "128", "--scan_steps", "24",  # 24 > 18 pool batches
+         "--i_print", "24", "--i_weights", "24", "--i_testset", "0"]
+    )
+    out = capsys.readouterr().out
+    assert "in-chunk epoch wrap" in out
+    ckpts = sorted((workdir / "s1_wrap").glob("*.ckpt"))
+    assert ckpts and ckpts[-1].name == "000024.ckpt"
+
+
 def test_train_multi_smoke(workdir, capsys):
     main(
         ["train-multi", "--no-reload", "--max-steps", "4",

@@ -19,6 +19,17 @@ cd "$(dirname "$0")/.."
 
 S2_TARGET=370000
 
+# logs*/ is gitignored and scratch VMs get recycled — mirror the curve
+# evidence into the committed results/ tree after every stage.
+snapshot() {
+  mkdir -p results/soak
+  for s in s1 s2; do
+    [ -f "logs_soak/$s/metrics.jsonl" ] && \
+      cp "logs_soak/$s/metrics.jsonl" "results/soak/${s}_metrics.jsonl"
+  done
+}
+trap snapshot EXIT
+
 latest_step() {  # latest_step <expdir> -> newest ckpt step number (or -1)
   local f
   f=$(ls "$1"/*.ckpt 2>/dev/null | sort | tail -1)
@@ -34,6 +45,7 @@ if [ "$s1_step" -lt 500000 ]; then
     --scan_steps 50 --i_print 20000 --i_weights 50000 --i_testset 250000 \
     --i_video 0 --i_img 0 || exit 1
 fi
+snapshot
 
 s2_step=$(latest_step logs_soak/s2)
 if [ "$s2_step" -lt "$S2_TARGET" ]; then
@@ -47,11 +59,13 @@ if [ "$s2_step" -lt "$S2_TARGET" ]; then
     --scan_steps 50 --i_print 20000 --i_weights 50000 --i_testset 200000 \
     --i_video 0 --i_img 0 || exit 1
 fi
+snapshot
 
 echo "=== SOAK eval ($(date -u +%FT%TZ)): bf16 serving eval of the stage-2 result ==="
 CKPT2=$(ls logs_soak/s2/*.ckpt | sort | tail -1)
+mkdir -p results/soak
 python -m pronerf_tpu.cli eval --use-trt \
   --checkpoint "$CKPT2" -- \
   --datadir synthetic --basedir logs_soak --expname eval \
-  --tile_rays 2048 --use_pallas False
+  --tile_rays 2048 --use_pallas False 2>&1 | tee results/soak/final_eval.txt
 echo "=== SOAK done ($(date -u +%FT%TZ)) ==="

@@ -33,6 +33,24 @@ import jax.numpy as jnp
 from pronerf_tpu.train.state import stage1_lr, stage2_lr
 
 
+@partial(jax.jit, donate_argnums=(0, 1))
+def device_reshuffle(pool, pool_ids, key):
+    """Reshuffle the device-resident ray pool between scan chunks.
+
+    The reference reshuffles on the host (np permutation of the whole pool)
+    and the straightforward port re-uploads the result. At fern scale that
+    ships ~129 MB (3.24 M rays x [3, 3] f32 + ids) through the host link
+    every pool epoch — ~800 steps at N_rand=4096 — which through a
+    tunneled/high-latency device dominates the marginal step cost. One
+    device-side gather with a jax.random permutation is host-traffic-free
+    and distributionally identical (uniform permutation, keyed per epoch).
+    Buffers are donated: the pool is permuted without a second copy living
+    on host or in HBM.
+    """
+    perm = jax.random.permutation(key, pool.shape[0])
+    return jnp.take(pool, perm, axis=0), jnp.take(pool_ids, perm, axis=0)
+
+
 def _draw_device_controls(key, step, n_train: int, num_neighbor: int,
                           max_mult: int):
     k = jax.random.fold_in(key, step)

@@ -377,10 +377,17 @@ def run_training(cfg: Config, stage: int):
 
         while n_iters - 1 - i >= chunk:
             if i_batch + stride > pool.shape[0]:
-                perm = rng.permutation(pool.shape[0])
-                pool, pool_ids = pool[perm], pool_ids[perm]
-                pool_j = jnp.asarray(pool)
-                ids_j = jnp.asarray(pool_ids)
+                # Device-resident reshuffle (fast_loop.device_reshuffle):
+                # the host-permute+re-upload alternative ships the whole
+                # pool (~129 MB at fern scale) through the link every pool
+                # epoch. Keyed from the same host rng stream so runs stay
+                # deterministic per seed.
+                from pronerf_tpu.train.fast_loop import device_reshuffle
+
+                pool_j, ids_j = device_reshuffle(
+                    pool_j, ids_j,
+                    jax.random.PRNGKey(int(rng.integers(0, 2**63 - 1))),
+                )
                 i_batch = 0
             state, metrics = executor(
                 state, scene, pool_j, ids_j, i_batch, base_key

@@ -31,7 +31,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from pronerf_tpu.cli import DEFAULT_STAGE1_CONFIG
+    from pronerf_tpu.cli import DEFAULT_STAGE1_CONFIG, enable_compilation_cache
+
+    enable_compilation_cache()
     from pronerf_tpu.config import Config
     from pronerf_tpu.models import init_pronerf_params
     from pronerf_tpu.render.raygen import build_ray_pool, prepare_scene

@@ -18,6 +18,11 @@ set -u
 cd "$(dirname "$0")/.."
 
 S2_TARGET=370000
+# Scene spec: default the tiny consistent scene; set SOAK_SPEC to e.g.
+# synthetic:504x378x17 to run the schedule at the fern operating point
+# (practical once the pool reshuffle stopped re-uploading ~129 MB per
+# epoch — see train/fast_loop.py:device_reshuffle).
+SPEC="${SOAK_SPEC:-synthetic}"
 
 # logs*/ is gitignored and scratch VMs get recycled — mirror the curve
 # evidence into the committed results/ tree after every stage.
@@ -41,7 +46,7 @@ if [ "$s1_step" -lt 500000 ]; then
   echo "=== SOAK stage 1 ($(date -u +%FT%TZ)): resume from step $s1_step to 500k ==="
   python -m pronerf_tpu.cli train-stage1 \
     --config configs/llff/fern/fern_epi.txt -- \
-    --datadir synthetic --basedir logs_soak --expname s1 \
+    --datadir "$SPEC" --basedir logs_soak --expname s1 \
     --scan_steps 50 --i_print 20000 --i_weights 50000 --i_testset 250000 \
     --i_video 0 --i_img 0 || exit 1
 fi
@@ -55,7 +60,7 @@ if [ "$s2_step" -lt "$S2_TARGET" ]; then
   echo "=== SOAK stage 2 ($(date -u +%FT%TZ)): from step $s2_step, $remaining to go, pretrain $CKPT ==="
   python -m pronerf_tpu.cli train-stage2 --max-steps "$remaining" \
     --config configs/llff/fern/fern_refine.txt --pretrain-path "$CKPT" -- \
-    --datadir synthetic --basedir logs_soak --expname s2 \
+    --datadir "$SPEC" --basedir logs_soak --expname s2 \
     --scan_steps 50 --i_print 20000 --i_weights 50000 --i_testset 200000 \
     --i_video 0 --i_img 0 || exit 1
 fi
@@ -66,6 +71,6 @@ CKPT2=$(ls logs_soak/s2/*.ckpt | sort | tail -1)
 mkdir -p results/soak
 python -m pronerf_tpu.cli eval --use-trt \
   --checkpoint "$CKPT2" -- \
-  --datadir synthetic --basedir logs_soak --expname eval \
+  --datadir "$SPEC" --basedir logs_soak --expname eval \
   --tile_rays 2048 --use_pallas False 2>&1 | tee results/soak/final_eval.txt
 echo "=== SOAK done ($(date -u +%FT%TZ)) ==="

@@ -90,3 +90,78 @@ def place_scene_batch(mesh: Mesh, batch_rays, pose_ids):
         jax.device_put(batch_rays, scene_rays),
         jax.device_put(pose_ids, scene_rays),
     )
+
+
+def place_scene_pools(mesh: Mesh, pools, pool_ids):
+    """[S, M, 3, 3] / [S, M] host ray POOLS -> device-resident arrays
+    sharded over the scene axis. Each scene's pool stays whole on its
+    scene shard; the pooled step slices batches from it in-graph."""
+    scene_first, _ = _shardings(mesh)
+    return (
+        jax.device_put(pools, scene_first),
+        jax.device_put(pool_ids, scene_first),
+    )
+
+
+def make_multi_scene_pooled_step(cfg, H: int, W: int, focal: float,
+                                 mesh: Mesh, stage: int = 1,
+                                 branch: str = "nerf"):
+    """:func:`make_multi_scene_step` with DEVICE-RESIDENT ray pools.
+
+    Signature: (states, scenes, pools, pool_ids, i_batch, controls, lr) ->
+    (states, metrics); ``pools`` [S, M, 3, 3] / ``pool_ids`` [S, M] live on
+    device (``place_scene_pools``) and each step slices its [S, N_rand]
+    batch in-graph from the traced scalar ``i_batch``. Per step only
+    scalars and the shared controls cross the host link — the per-step
+    [S, N_rand, 3, 3] host upload of the batch-shipping variant costs
+    ~1.2 MB x n_scenes through a high-latency tunnel (DESIGN.md 'The ray
+    pool lives on device')."""
+    if stage == 1:
+        nerf_fn, sampler_fn = build_stage1_step_fns(cfg, H, W, focal)
+        step_fn = nerf_fn if branch == "nerf" else sampler_fn
+    else:
+        step_fn = build_stage2_step_fn(cfg, H, W, focal)
+
+    n_rand = cfg.N_rand
+
+    def step_scene(state, scene, batch, ids, scene_idx, controls, lr):
+        controls = dict(
+            controls, rng=jax.random.fold_in(controls["rng"], scene_idx)
+        )
+        return step_fn(state, scene, batch, ids, controls, lr)
+
+    vstep = jax.vmap(step_scene, in_axes=(0, 0, 0, 0, 0, None, None))
+
+    def stepped(states, scenes, pools, pool_ids, i_batch, controls, lr):
+        batch = jax.lax.dynamic_slice_in_dim(pools, i_batch, n_rand, axis=1)
+        ids = jax.lax.dynamic_slice_in_dim(pool_ids, i_batch, n_rand, axis=1)
+        idxs = jax.numpy.arange(batch.shape[0], dtype=jax.numpy.int32)
+        return vstep(states, scenes, batch, ids, idxs, controls, lr)
+
+    scene_first, _ = _shardings(mesh)
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        stepped,
+        in_shardings=(scene_first, scene_first, scene_first, scene_first,
+                      repl, repl, repl),
+        out_shardings=(scene_first, scene_first),
+        donate_argnums=(0,),
+    )
+
+
+@jax.jit
+def reshuffle_scene_pools(pools, pool_ids, key):
+    """Per-scene INDEPENDENT device reshuffle of stacked ray pools
+    (each scene gets its own permutation, like independent single-scene
+    runs). Device-side twin of the reference's host epoch reshuffle; see
+    ``train/fast_loop.py:device_reshuffle`` for the single-scene rationale.
+    """
+    keys = jax.random.split(key, pools.shape[0])
+
+    def one(p, ids, k):
+        perm = jax.random.permutation(k, p.shape[0])
+        return jax.numpy.take(p, perm, axis=0), jax.numpy.take(
+            ids, perm, axis=0
+        )
+
+    return jax.vmap(one)(pools, pool_ids, keys)

@@ -28,9 +28,10 @@ import numpy as np
 
 from pronerf_tpu.config import Config
 from pronerf_tpu.parallel.multi_scene import (
-    make_multi_scene_step,
+    make_multi_scene_pooled_step,
     make_scene_mesh,
-    place_scene_batch,
+    place_scene_pools,
+    reshuffle_scene_pools,
     stack_scenes,
 )
 from pronerf_tpu.render.raygen import build_ray_pool, prepare_scene
@@ -213,15 +214,23 @@ def run_multi_training(cfg: Config, datadirs, n_ray_shards: int = 1,
     states_s = stack_scenes(states)
     pools = np.stack(pools)
     pool_ids_arr = np.stack(pool_ids)
+    # Pools live ON DEVICE for the whole run; each step slices its batch
+    # in-graph from a traced scalar and epoch reshuffles are per-scene
+    # device permutations — only scalars + shared controls cross the host
+    # link per step (parallel/multi_scene.py:make_multi_scene_pooled_step).
+    pools_d, ids_d = place_scene_pools(mesh, pools, pool_ids_arr)
+    pool_len = pools.shape[1]
 
     if stage == 1:
-        nerf_step = make_multi_scene_step(cfg, H, W, focal, mesh, 1, "nerf")
-        sampler_step = make_multi_scene_step(
+        nerf_step = make_multi_scene_pooled_step(
+            cfg, H, W, focal, mesh, 1, "nerf"
+        )
+        sampler_step = make_multi_scene_pooled_step(
             cfg, H, W, focal, mesh, 1, "sampler"
         )
         lr_fn = lambda s: stage1_lr(s, cfg.lrate, cfg.lrate_decay)
     else:
-        joint_step = make_multi_scene_step(cfg, H, W, focal, mesh, 2)
+        joint_step = make_multi_scene_pooled_step(cfg, H, W, focal, mesh, 2)
         lr_fn = lambda s: stage2_lr(s, cfg.lrate, cfg.lrate_decay)
 
     def save_all(i):
@@ -242,24 +251,23 @@ def run_multi_training(cfg: Config, datadirs, n_ray_shards: int = 1,
     i_batch = 0
     t0 = time.time()
     for i in range(start + 1, n_iters):
-        if i_batch + cfg.N_rand > pools.shape[1]:
-            perm = rng.permutation(pools.shape[1])
-            pools = pools[:, perm]
-            pool_ids_arr = pool_ids_arr[:, perm]
+        if i_batch + cfg.N_rand > pool_len:
+            pools_d, ids_d = reshuffle_scene_pools(
+                pools_d, ids_d,
+                jax.random.PRNGKey(int(rng.integers(0, 2**63 - 1))),
+            )
             i_batch = 0
-        batch, bids = place_scene_batch(
-            mesh,
-            jnp.asarray(pools[:, i_batch : i_batch + cfg.N_rand]),
-            jnp.asarray(pool_ids_arr[:, i_batch : i_batch + cfg.N_rand]),
-        )
-        i_batch += cfg.N_rand
         controls = _draw_controls(rng, n_train, cfg, i)
         lr = lr_fn(i - 1)
         if stage == 1:
             step = nerf_step if i % 2 != 0 else sampler_step
         else:
             step = joint_step
-        states_s, metrics = step(states_s, scenes_s, batch, bids, controls, lr)
+        states_s, metrics = step(
+            states_s, scenes_s, pools_d, ids_d, jnp.int32(i_batch),
+            controls, lr,
+        )
+        i_batch += cfg.N_rand
 
         if i % cfg.i_print == 0:
             losses = np.asarray(metrics["loss"])

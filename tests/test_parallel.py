@@ -140,6 +140,88 @@ def test_multi_scene_training_step():
     assert int(np.asarray(states_s["global_step"])[0]) == 1
 
 
+def test_multi_scene_pooled_step_matches_batch_step():
+    """The device-resident-pool step (what train-multi drives) must train
+    exactly like the batch-shipping step on the same slice, and the
+    per-scene pool reshuffle must draw INDEPENDENT permutations."""
+    from pronerf_tpu.parallel.multi_scene import (
+        make_multi_scene_pooled_step,
+        make_multi_scene_step,
+        make_scene_mesh,
+        place_scene_batch,
+        place_scene_pools,
+        reshuffle_scene_pools,
+        stack_scenes,
+    )
+    from pronerf_tpu.train import init_stage1_state
+
+    cfg, _, _, _, _, _, controls = _setup()
+    n_scene, n_rand = 2, 64
+    cfg.N_rand = n_rand
+    scenes, states, pools_l, ids_l = [], [], [], []
+    H = W = focal = None
+    for s in range(n_scene):
+        sc = make_scene(n_views=6, H=20, W=24, seed=s)
+        H, W, focal = sc["hwf"]
+        scenes.append(prepare_scene(sc["images"], sc["poses"], sc["K"]))
+        params = init_pronerf_params(jax.random.PRNGKey(s), mmnetdepth=6)
+        states.append(init_stage1_state(params))
+        rng = np.random.default_rng(s)
+        pool, ids = build_ray_pool(
+            sc["images"], sc["poses"], sc["K"], list(range(6)), 4, rng
+        )
+        pools_l.append(pool[: 3 * n_rand])
+        ids_l.append(ids[: 3 * n_rand])
+
+    mesh = make_scene_mesh(n_scene, 1)
+    scenes_s = stack_scenes(scenes)
+    pools = np.stack(pools_l)
+    idss = np.stack(ids_l)
+
+    # batch-shipping step on slice [n_rand : 2*n_rand]
+    states_a = stack_scenes(states)
+    batch, ids = place_scene_batch(
+        mesh,
+        jnp.asarray(pools[:, n_rand : 2 * n_rand]),
+        jnp.asarray(idss[:, n_rand : 2 * n_rand]),
+    )
+    step_a = make_multi_scene_step(cfg, H, W, focal, mesh, 1, "nerf")
+    _, metrics_a = step_a(states_a, scenes_s, batch, ids, controls, 5e-4)
+
+    # pooled step slicing the same window in-graph
+    states_b = stack_scenes(states)
+    pools_d, ids_d = place_scene_pools(
+        mesh, jnp.asarray(pools), jnp.asarray(idss)
+    )
+    step_b = make_multi_scene_pooled_step(cfg, H, W, focal, mesh, 1, "nerf")
+    _, metrics_b = step_b(
+        states_b, scenes_s, pools_d, ids_d, jnp.int32(n_rand), controls,
+        5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(metrics_a["loss"]), np.asarray(metrics_b["loss"]),
+        atol=1e-6, rtol=0,
+    )
+
+    # per-scene reshuffle: each scene permuted, with DIFFERENT permutations
+    sp, si = reshuffle_scene_pools(pools_d, ids_d, jax.random.PRNGKey(5))
+    sp, si = np.asarray(sp), np.asarray(si)
+    for s in range(n_scene):
+        np.testing.assert_array_equal(
+            np.sort(sp[s].ravel()), np.sort(pools[s].ravel())
+        )
+    # identical inputs across scenes -> the drawn permutations must differ
+    m = pools.shape[1]
+    same_ids = jnp.tile(jnp.arange(m, dtype=jnp.int32)[None], (n_scene, 1))
+    same_pools = jnp.zeros((n_scene, m, 3, 3), jnp.float32)
+    _, perms = reshuffle_scene_pools(
+        same_pools, same_ids, jax.random.PRNGKey(6)
+    )
+    perms = np.asarray(perms)
+    assert not np.array_equal(perms[0], perms[1])
+    np.testing.assert_array_equal(np.sort(perms[0]), np.arange(m))
+
+
 def test_sharded_frame_renderer_matches_single_device():
     """Serving SPMD: the ray-sharded whole-frame render must equal the
     single-device renderer (deterministic inference graph, replicated

@@ -158,7 +158,10 @@ def test_device_reshuffle_is_aligned_permutation():
     m = 1000
     pool = jnp.arange(m * 9, dtype=jnp.float32).reshape(m, 3, 3)
     ids = jnp.arange(m, dtype=jnp.int32)
-    out_pool, out_ids = device_reshuffle(pool, ids, jax.random.PRNGKey(3))
+    key = jax.random.PRNGKey(3)
+    jax.block_until_ready((pool, ids, key))
+    with jax.transfer_guard("disallow"):  # the whole point: no host traffic
+        out_pool, out_ids = device_reshuffle(pool, ids, key)
     out_pool, out_ids = np.asarray(out_pool), np.asarray(out_ids)
     assert not np.array_equal(out_ids, np.arange(m))  # actually shuffled
     assert np.array_equal(np.sort(out_ids), np.arange(m))  # a permutation

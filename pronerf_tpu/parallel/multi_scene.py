@@ -19,6 +19,8 @@ datasets satisfy this after cropping to the min view count).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -149,7 +151,7 @@ def make_multi_scene_pooled_step(cfg, H: int, W: int, focal: float,
     )
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0, 1))
 def reshuffle_scene_pools(pools, pool_ids, key):
     """Per-scene INDEPENDENT device reshuffle of stacked ray pools
     (each scene gets its own permutation, like independent single-scene

@@ -25,15 +25,61 @@ S2_TARGET=370000
 SPEC="${SOAK_SPEC:-synthetic}"
 
 # logs*/ is gitignored and scratch VMs get recycled — mirror the curve
-# evidence into the committed results/ tree after every stage.
+# evidence into the committed results/ tree AND commit it (a plain copy died
+# with the VM once already; only git survives resets). Metrics snapshot every
+# 15 min; the newest checkpoint is mirrored hourly + at stage boundaries so a
+# reset mid-stage loses at most ~1 h of training.
 snapshot() {
   mkdir -p results/soak
   for s in s1 s2; do
     [ -f "logs_soak/$s/metrics.jsonl" ] && \
       cp "logs_soak/$s/metrics.jsonl" "results/soak/${s}_metrics.jsonl"
   done
+  git add -A results/soak 2>/dev/null
+  git diff --cached --quiet -- results/soak || \
+    git commit -q -m "Soak evidence snapshot ($(date -u +%FT%TZ))" \
+      -- results/soak >/dev/null 2>&1 || true
 }
-trap snapshot EXIT
+
+snapshot_ckpt() {  # mirror newest ckpt per stage (keep only one in results/)
+  mkdir -p results/soak
+  for s in s1 s2; do
+    local f
+    f=$(ls "logs_soak/$s"/*.ckpt 2>/dev/null | sort | tail -1)
+    if [ -n "$f" ]; then
+      mkdir -p "results/soak/$s"
+      rm -f "results/soak/$s"/*.ckpt
+      cp "$f" "results/soak/$s/$(basename "$f")"
+    fi
+  done
+  snapshot
+}
+
+restore() {  # after a VM reset: repopulate logs_soak from committed evidence
+  for s in s1 s2; do
+    if [ ! -d "logs_soak/$s" ] && ls "results/soak/$s"/*.ckpt >/dev/null 2>&1
+    then
+      mkdir -p "logs_soak/$s"
+      cp "results/soak/$s"/*.ckpt "logs_soak/$s/"
+      [ -f "results/soak/${s}_metrics.jsonl" ] && \
+        cp "results/soak/${s}_metrics.jsonl" "logs_soak/$s/metrics.jsonl"
+      echo "=== SOAK restore: $s resumed from committed snapshot ==="
+    fi
+  done
+}
+
+snapshot_loop() {
+  local n=0
+  while true; do
+    sleep 900
+    n=$((n + 1))
+    if [ $((n % 4)) -eq 0 ]; then snapshot_ckpt; else snapshot; fi
+  done
+}
+
+restore
+snapshot_loop & SNAP_PID=$!
+trap 'kill "$SNAP_PID" 2>/dev/null; snapshot_ckpt' EXIT
 
 latest_step() {  # latest_step <expdir> -> newest ckpt step number (or -1)
   local f
@@ -50,7 +96,7 @@ if [ "$s1_step" -lt 500000 ]; then
     --scan_steps 50 --i_print 20000 --i_weights 50000 --i_testset 250000 \
     --i_video 0 --i_img 0 || exit 1
 fi
-snapshot
+snapshot_ckpt
 
 s2_step=$(latest_step logs_soak/s2)
 if [ "$s2_step" -lt "$S2_TARGET" ]; then
@@ -64,7 +110,7 @@ if [ "$s2_step" -lt "$S2_TARGET" ]; then
     --scan_steps 50 --i_print 20000 --i_weights 50000 --i_testset 200000 \
     --i_video 0 --i_img 0 || exit 1
 fi
-snapshot
+snapshot_ckpt
 
 echo "=== SOAK eval ($(date -u +%FT%TZ)): bf16 serving eval of the stage-2 result ==="
 CKPT2=$(ls logs_soak/s2/*.ckpt | sort | tail -1)

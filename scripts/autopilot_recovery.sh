@@ -17,7 +17,7 @@ note() { echo "[autopilot $(date -u +%FT%TZ)] $*" | tee -a "$OUT/log.txt"; }
 
 note "start (poll every ${POLL_S}s)"
 while true; do
-  if timeout 90 python -c "
+  if timeout 300 python -c "
 import jax, jax.numpy as jnp
 x = jax.jit(lambda x: (x*1.000421+0.33).sum())(jnp.arange(7801.0))
 print('ok', float(x))

@@ -113,6 +113,11 @@ class Config:
                                          # row take. Measured 3-7x slower on
                                          # v5e (bench_gather_split.py) —
                                          # documented negative-result knob
+    transposed: bool = True              # serving pipeline fully transposed
+                                         # (rays on lanes between the fused
+                                         # kernels too; models/pronerf_t.py)
+                                         # — only affects the deterministic
+                                         # Pallas serving branch
     seed: int = 0
 
     @classmethod

@@ -34,7 +34,8 @@ def _pad8(n: int) -> int:
     return -(-n // 8) * 8
 
 
-def pack_minmax_params(params, reps: int, dtype=jnp.bfloat16, c_rep: int = 6):
+def pack_minmax_params(params, reps: int, dtype=jnp.bfloat16, c_rep: int = 6,
+                       rest_row_perm=None):
     """Transposed kernel panels for a no-skip MinMax net whose first
     ``reps * c_rep`` input rows are an exact tiling.
 
@@ -43,6 +44,11 @@ def pack_minmax_params(params, reps: int, dtype=jnp.bfloat16, c_rep: int = 6):
       reps: tile count of the repeated leading block (48 sampler, 8 refine).
       c_rep: width of the repeated block — 6 (Pluecker [d, m]) for both
         ProNeRF call sites; pass explicitly for any other encoding.
+      rest_row_perm: optional permutation of the NON-repeated trailing input
+        rows — ``rest_new[i] = rest_old[perm[i]]`` — for callers that feed
+        the trailing features in a different row order (the transposed
+        serving pipeline feeds epipolar colors as (v, c, s) rows where the
+        reference layout is (v, s, c)).
     """
     w0 = jnp.asarray(params["layers"][0]["w"])  # [reps*c_rep + rest, 256]
     assert w0.shape[0] >= reps * c_rep, (
@@ -51,7 +57,11 @@ def pack_minmax_params(params, reps: int, dtype=jnp.bfloat16, c_rep: int = 6):
     )
     n_out = params["out"]["w"].shape[1]
     w_rep = w0[: reps * c_rep].reshape(reps, c_rep, -1).sum(0)
-    w0_eff = jnp.concatenate([w_rep, w0[reps * c_rep:]], axis=0)
+    w0_rest = w0[reps * c_rep:]
+    if rest_row_perm is not None:
+        assert len(rest_row_perm) == w0_rest.shape[0]
+        w0_rest = w0_rest[jnp.asarray(rest_row_perm)]
+    w0_eff = jnp.concatenate([w_rep, w0_rest], axis=0)
 
     out_pad = _pad8(n_out)
     w_out = jnp.zeros((W, out_pad)).at[:, :n_out].set(
@@ -109,12 +119,15 @@ def _make_kernel(depth: int):
     return _kernel
 
 
-@functools.partial(jax.jit, static_argnames=("rays_per_block", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("rays_per_block", "interpret", "transpose_out")
+)
 def fused_minmax_t(
     packed,
     x_t,
     rays_per_block: int = 2048,
     interpret: bool = False,
+    transpose_out: bool = True,
 ):
     """Fused MinMax MLP forward (no AD; inference path).
 
@@ -122,6 +135,9 @@ def fused_minmax_t(
       packed: ``pack_minmax_params`` output.
       x_t: [C, N] transposed input (folded signature, plus any trailing
         per-ray features).
+      transpose_out: True returns the row-major [N, out_pad] contract;
+        False keeps the kernel-native [out_pad, N] (the transposed serving
+        pipeline slices output ROWS, so no relayout is ever paid).
 
     Returns: [N, out_pad] float32 (linear head); the caller slices its true
     output width (pad columns are exact zero-weight products).
@@ -159,4 +175,4 @@ def fused_minmax_t(
         interpret=interpret,
     )(x_t, *ws)
 
-    return out[:, :N].T
+    return out[:, :N].T if transpose_out else out[:, :N]

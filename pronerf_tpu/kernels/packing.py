@@ -40,4 +40,13 @@ def pack_serving_params(params, statics):
         params["refine_packed"] = pack_minmax_params(
             params["refine"], statics.N_samples, pdt
         )
+        if statics.transposed:
+            from pronerf_tpu.models.pronerf_t import refine_rest_row_perm
+
+            params["refine_packed_t"] = pack_minmax_params(
+                params["refine"], statics.N_samples, pdt,
+                rest_row_perm=refine_rest_row_perm(
+                    statics.num_neighbor, statics.N_samples
+                ),
+            )
     return params

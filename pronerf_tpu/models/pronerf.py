@@ -112,6 +112,11 @@ class RenderStatics:
                                # 0 all-views, 1 force per-view (A/B knob).
                                # Exactness-equal paths.
     netarch: str = "nerf"     # radiance-field family: 'nerf' | 'donerf'
+    transposed: bool = False  # serving pipeline in fully transposed layout
+                              # (rays on lanes end to end; models/pronerf_t
+                              # .py) — applies to the deterministic Pallas
+                              # branch over u8-packed scenes; other configs
+                              # fall back to the row-major graph
 
     # -- factories reproducing the reference's behavior matrix ------------
     @staticmethod

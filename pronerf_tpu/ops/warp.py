@@ -581,6 +581,135 @@ def epipolar_colors_shared_windowed(
     return colors[:N]
 
 
+def epipolar_colors_shared_t(
+    images, fused_mats, K, view_ids, or_o_t, or_d_t, z3d_t,
+    n_tiles: int = 0, window_rows: int = 0,
+):
+    """Shared-view epipolar colors in the TRANSPOSED serving layout:
+    rays on lanes end to end.
+
+    Numerically identical to :func:`epipolar_colors_shared` (same
+    projections, same u8 bilinear unpack order — bit-exact per element) and
+    to :func:`epipolar_colors_shared_windowed` when ``n_tiles > 0``, but
+    every array keeps RAYS ON THE MINOR (lane) AXIS: projections, lerp
+    weights and outputs are [S, N] / [3, S, N] panels with full lane
+    utilization, where the row-major forms run the same VPU work on
+    [P, small] arrays at <= 8/128 lane occupancy. The one layout change the
+    gather forces — its fast take-form result is [P, 3] words — is paid
+    ONCE, on the u32 words (3x fewer bytes than relayouting the lerped f32
+    colors, which is what the row-major pipeline makes XLA do downstream).
+
+    Args:
+      images: int32 [T, H, W, 3] ``build_corner_stack_u8`` pack (required).
+      view_ids: [V] int32 shared source-view ids.
+      or_o_t, or_d_t: [3, N] original camera-space rays, transposed.
+      z3d_t: [S, N] 3D depths, transposed.
+      n_tiles / window_rows: as :func:`epipolar_colors_shared_windowed`
+        (0 = unwindowed). Rays must be target-row-major for windows to
+        cover, exactly like the row-major path.
+
+    Returns: colors_t [V, 3, S, N] float32 — reshape to [V*3*S, N] for the
+    (v, c, s)-ordered refine-input rows (weight rows permuted to match at
+    pack time: ``pack_minmax_params(rest_row_perm=...)``).
+    """
+    import jax
+
+    T, H, W, _ = images.shape
+    V = int(view_ids.shape[0])
+    S, N = z3d_t.shape
+    if n_tiles and n_tiles > 0:
+        n_pad = -(-N // n_tiles) * n_tiles - N
+    else:
+        n_tiles, n_pad = 0, 0
+    if n_pad:
+        or_o_t = jnp.pad(or_o_t, ((0, 0), (0, n_pad)))
+        or_d_t = jnp.pad(or_d_t, ((0, 0), (0, n_pad)), constant_values=1.0)
+        z3d_t = jnp.pad(z3d_t, ((0, 0), (0, n_pad)))
+    Np = N + n_pad
+    # [3, S, Np] world points: row (c, s) = o_c + d_c * z_s
+    pts = or_o_t[:, None, :] + or_d_t[:, None, :] * z3d_t[None, :, :]
+    # zero-padded rays must not influence window placement (see the
+    # row-major path)
+    live = (jnp.sum(jnp.abs(or_d_t), axis=0) > 0)[None, :]  # [1, Np]
+
+    outs = []
+    for v in range(V):
+        M = fused_mats[view_ids[v]]  # [3, 4]
+        p = jnp.einsum(
+            "ic,csn->isn", M[:, :3], pts, precision="highest"
+        ) + M[:, 3][:, None, None]  # [3, S, Np]
+        z = jnp.abs(p[2]) + 1e-8
+        u_pix = K[0, 0] * p[0] / z + K[0, 2]
+        v_pix = K[1, 1] * p[1] / z + K[1, 2]
+        xn = 2.0 * u_pix / (W - 1) - 1.0
+        yn = 2.0 * v_pix / (H - 1) - 1.0
+        inb = (xn >= -1.0) & (xn <= 1.0) & (yn >= -1.0) & (yn <= 1.0)
+        u = jnp.clip((xn + 1.0) * 0.5 * (W - 1), 0.0, W - 1)
+        vv = jnp.clip((yn + 1.0) * 0.5 * (H - 1), 0.0, H - 1)
+        x0 = jnp.floor(u).astype(jnp.int32)
+        y0 = jnp.floor(vv).astype(jnp.int32)
+        wx = u - x0.astype(u.dtype)   # [S, Np]
+        wy = vv - y0.astype(vv.dtype)
+        img_v = jax.lax.dynamic_index_in_dim(
+            images, view_ids[v], axis=0, keepdims=False
+        )  # [H, W, 3]
+
+        def lerp(rows_t, wx_, wy_, hit_):
+            # rows_t [3, S, n] uint32; identical scale-then-lerp order as
+            # bilinear_sample_packed_u8 so the two paths are bit-identical
+            def lane(shift):
+                return ((rows_t >> shift) & 0xFF).astype(jnp.float32) * (
+                    1.0 / 255.0
+                )
+
+            c00, c01, c10, c11 = lane(0), lane(8), lane(16), lane(24)
+            top = c00 * (1.0 - wx_[None]) + c01 * wx_[None]
+            bot = c10 * (1.0 - wx_[None]) + c11 * wx_[None]
+            out = top * (1.0 - wy_[None]) + bot * wy_[None]
+            return out * hit_[None].astype(out.dtype)
+
+        if not n_tiles:
+            idx = (y0 * W + x0).reshape(-1)  # [S*Np], s-major
+            rows = jnp.take(img_v.reshape(H * W, 3), idx, axis=0)
+            rows_t = rows.T.astype(jnp.uint32).reshape(3, S, Np)
+            outs.append(lerp(rows_t, wx, wy, inb))
+            continue
+
+        wr = min(window_rows, H)
+        nt = Np // n_tiles
+        tile_cols = []
+        for t in range(n_tiles):
+            sl = slice(t * nt, (t + 1) * nt)
+            y0_t = y0[:, sl]
+            inb_t = inb[:, sl]
+            y_lo = jnp.min(jnp.where(inb_t & live[:, sl], y0_t, H))
+            start = jnp.clip(y_lo, 0, max(H - wr, 0))
+            win = jax.lax.dynamic_slice(
+                img_v, (start, 0, 0), (wr, W, 3)
+            ).reshape(-1, 3)
+            y_loc = y0_t - start
+            hit = inb_t & (y_loc >= 0) & (y_loc < wr)
+            idx_t = (jnp.clip(y_loc, 0, wr - 1) * W + x0[:, sl]).reshape(-1)
+            rows = jnp.take(win, idx_t, axis=0)  # [S*nt, 3]
+            rows_t = rows.T.astype(jnp.uint32).reshape(3, S, nt)
+            tile_cols.append(lerp(rows_t, wx[:, sl], wy[:, sl], hit))
+        outs.append(jnp.concatenate(tile_cols, axis=-1))
+    colors_t = jnp.stack(outs, axis=0)  # [V, 3, S, Np]
+    return colors_t[..., :N]
+
+
+def mean_fill_invalid_t(colors_t, eps: float = 1e-6):
+    """Transposed twin of :func:`mean_fill_invalid`: colors_t [V, 3, S, N]
+    (rays on lanes), validity = channel sum > 0 per (view, sample, ray)."""
+    valid = (jnp.sum(colors_t, axis=1, keepdims=True) > 0).astype(
+        colors_t.dtype
+    )  # [V, 1, S, N]
+    mean = jnp.sum(valid * colors_t, axis=0, keepdims=True) / (
+        jnp.sum(valid, axis=0, keepdims=True) + eps
+    )
+    return colors_t * valid + mean * (1.0 - valid)
+
+
 def mean_fill_invalid(colors, eps: float = 1e-6):
     """Replace invalid (all-zero) warped colors by the mean of the valid
     neighbor views at the same (ray, sample), matching the reference's

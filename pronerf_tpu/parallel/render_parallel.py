@@ -52,7 +52,16 @@ def make_sharded_frame_renderer(
     n_pad = -(-n // n_dev) * n_dev
 
     def shard_body(params, scene, controls, rays):
-        out = render_rays(params, rays, scene, controls, statics)
+        rr_fn = render_rays
+        if statics.transposed:
+            from pronerf_tpu.models.pronerf_t import (
+                render_rays_t,
+                transposed_eligible,
+            )
+
+            if transposed_eligible(statics, scene["images"]):
+                rr_fn = render_rays_t
+        out = rr_fn(params, rays, scene, controls, statics)
         return {k: out[k] for k in _FRAME_KEYS}
 
     sharded = shard_map(

@@ -84,6 +84,7 @@ def _infer_statics(cfg: Config, use_bf16: bool) -> RenderStatics:
         use_pallas=cfg.use_pallas and cfg.netarch == "nerf",
         gather_tiles=cfg.gather_tiles,
         gather_split=cfg.gather_split,
+        transposed=cfg.transposed,
         netarch=cfg.netarch,
         N_samples=cfg.N_samples,
         N_point_ray_enc=cfg.N_point_ray_enc,

@@ -104,9 +104,18 @@ def make_frame_renderer(
             "rng": jax.random.PRNGKey(0),
             "target_t": jnp.asarray(c2w)[:3, 3],
         }
+        rr_fn = render_rays
+        if statics.transposed:
+            from pronerf_tpu.models.pronerf_t import (
+                render_rays_t,
+                transposed_eligible,
+            )
+
+            if transposed_eligible(statics, scene["images"]):
+                rr_fn = render_rays_t
 
         def body(tile_rays_):
-            out = render_rays(params, tile_rays_, scene, controls, statics)
+            out = rr_fn(params, tile_rays_, scene, controls, statics)
             return {
                 "rgb1": out["rgb1"],
                 "rgb0": out["rgb0"],

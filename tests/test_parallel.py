@@ -247,3 +247,37 @@ def test_sharded_frame_renderer_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(a[k]), np.asarray(b[k]), atol=2e-6
         )
+
+
+def test_sharded_frame_renderer_transposed_matches_single_device():
+    """The transposed serving pipeline (models/pronerf_t.py) is also
+    numerically shard-count independent: every per-ray op is identical
+    across shard slicing, so sharded == single-device holds as tightly as
+    for the row-major graph."""
+    from pronerf_tpu.models import RenderStatics
+    from pronerf_tpu.parallel import make_sharded_frame_renderer
+    from pronerf_tpu.render.renderer import make_frame_renderer
+
+    sc = make_scene(n_views=6, H=20, W=24, seed=0)
+    H, W, _ = sc["hwf"]
+    scene = prepare_scene(sc["images"], sc["poses"], sc["K"])
+    params = init_pronerf_params(jax.random.PRNGKey(0))
+    # f32 kernels: XLA:CPU's shard_map dot thunk lacks bf16 support (the
+    # bf16 transposed graph is equality-tested single-device in
+    # test_transposed.py; on TPU both dtypes shard identically)
+    statics = RenderStatics.infer(
+        compute_dtype=None, use_pallas=True, transposed=True,
+        pallas_block_rays=128,
+    )
+    mesh = make_ray_mesh()
+
+    single = make_frame_renderer(statics, H, W, sc["K"], tile_rays=0)
+    sharded = make_sharded_frame_renderer(statics, H, W, sc["K"], mesh)
+
+    c2w = jnp.asarray(sc["poses"][1])
+    a = single(params, scene, c2w)
+    b = sharded(params, scene, c2w)
+    for k in ("rgb1", "rgb0", "depth"):
+        np.testing.assert_allclose(
+            np.asarray(a[k]), np.asarray(b[k]), atol=2e-6
+        )

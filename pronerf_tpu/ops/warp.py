@@ -635,9 +635,15 @@ def epipolar_colors_shared_t(
     outs = []
     for v in range(V):
         M = fused_mats[view_ids[v]]  # [3, 4]
-        p = jnp.einsum(
-            "ic,csn->isn", M[:, :3], pts, precision="highest"
-        ) + M[:, 3][:, None, None]  # [3, S, Np]
+        # Unrolled scalar-broadcast projection (NOT an einsum/dot: a [3, 3]
+        # x [3, S*N] contraction in f32-highest lowers to serial while
+        # loops on TPU — measured 0.34 ms EACH, 14 per frame at 504x378 —
+        # while scalar multiply-adds fuse into the surrounding elementwise
+        # graph exactly like the row-major path's per-point einsum does)
+        p = [
+            M[i, 0] * pts[0] + M[i, 1] * pts[1] + M[i, 2] * pts[2] + M[i, 3]
+            for i in range(3)
+        ]  # each [S, Np]
         z = jnp.abs(p[2]) + 1e-8
         u_pix = K[0, 0] * p[0] / z + K[0, 2]
         v_pix = K[1, 1] * p[1] / z + K[1, 2]

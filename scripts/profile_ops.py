@@ -21,6 +21,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 MODE = sys.argv[1] if len(sys.argv) > 1 else "xla"
 TOP_N = int(sys.argv[2]) if len(sys.argv) > 2 else 40
 RES = sys.argv[3] if len(sys.argv) > 3 else "504x378"  # WxH
+TRANSPOSED = (sys.argv[4].lower() in ("1", "true", "t")
+              if len(sys.argv) > 4 else False)  # serving-pipeline layout
 
 
 def main():
@@ -44,7 +46,7 @@ def main():
 
     cfg = Config.from_file(
         DEFAULT_TRT_CONFIG, datadir="synthetic", use_trt=True, tile_rays=0,
-        use_pallas=(MODE == "pallas"),
+        use_pallas=(MODE == "pallas"), transposed=TRANSPOSED,
     )
     statics = _infer_statics(cfg, use_bf16=True)
     renderer = make_frame_renderer(statics, H, W, sc["K"], tile_rays=0)
@@ -76,8 +78,9 @@ def main():
                 dur = ev.duration_ns
                 per_op[ev.name] += dur
     total = sum(per_op.values())
-    print(json.dumps({"mode": MODE, "total_op_ms_3frames": round(
-        total / 1e6, 2), "per_frame_ms": round(total / 3e6, 2)}))
+    print(json.dumps({"mode": MODE, "transposed": TRANSPOSED,
+                      "total_op_ms_3frames": round(total / 1e6, 2),
+                      "per_frame_ms": round(total / 3e6, 2)}))
     for name, ns in per_op.most_common(TOP_N):
         print(json.dumps({
             "op": name[:110], "ms_per_frame": round(ns / 3e6, 3),

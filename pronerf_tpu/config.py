@@ -113,11 +113,17 @@ class Config:
                                          # row take. Measured 3-7x slower on
                                          # v5e (bench_gather_split.py) —
                                          # documented negative-result knob
-    transposed: bool = True              # serving pipeline fully transposed
+    transposed: bool = False             # serving pipeline fully transposed
                                          # (rays on lanes between the fused
-                                         # kernels too; models/pronerf_t.py)
-                                         # — only affects the deterministic
-                                         # Pallas serving branch
+                                         # kernels too; models/pronerf_t.py).
+                                         # MEASURED NEGATIVE RESULT on v5e:
+                                         # 38 vs 30 ms at 504x378, ~par at
+                                         # 1008x756 — XLA's layout engine
+                                         # churns on [3,S,N]-leading-dim
+                                         # arrays (while-loop relayouts) and
+                                         # already places the same N-minor
+                                         # copies in the row-major graph.
+                                         # Kept as the documented A/B knob
     seed: int = 0
 
     @classmethod

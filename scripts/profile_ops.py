@@ -68,6 +68,21 @@ def main():
     )
     per_op = collections.Counter()
     per_cat = collections.Counter()
+    cat_n = collections.Counter()
+
+    def category(name: str) -> str:
+        head = name.lstrip("%").split(" ")[0].split(".")[0]
+        for stem in ("fused_nerf", "fused_minmax", "copy", "while",
+                     "reshape", "transpose", "pad", "concatenate",
+                     "dynamic-slice", "dynamic-update-slice", "bitcast",
+                     "select", "broadcast", "iota", "convert", "slice",
+                     "reduce", "sort"):
+            if head.startswith(stem):
+                return stem
+        if "fusion" in head:
+            return "fusion"
+        return head
+
     for plane in pd.planes:
         if "TPU" not in plane.name and "tpu" not in plane.name.lower():
             continue
@@ -77,7 +92,15 @@ def main():
             for ev in line.events:
                 dur = ev.duration_ns
                 per_op[ev.name] += dur
+                per_cat[category(ev.name)] += dur
+                cat_n[category(ev.name)] += 1
     total = sum(per_op.values())
+    for cat, ns in per_cat.most_common():
+        print(json.dumps({
+            "category": cat, "ms_per_frame": round(ns / 3e6, 3),
+            "n_events_3frames": cat_n[cat],
+            "pct": round(100 * ns / total, 1),
+        }))
     print(json.dumps({"mode": MODE, "transposed": TRANSPOSED,
                       "total_op_ms_3frames": round(total / 1e6, 2),
                       "per_frame_ms": round(total / 3e6, 2)}))

@@ -124,6 +124,15 @@ class Config:
                                          # already places the same N-minor
                                          # copies in the row-major graph.
                                          # Kept as the documented A/B knob
+    quant: str = "none"                  # 'int8': serve the fused NeRF
+                                         # kernel with int8 MXU matmuls
+                                         # (calibrated post-training quant;
+                                         # kernels/fused_nerf_q.py). Opt-in
+                                         # on top of --use-trt; bf16 is the
+                                         # parity default. TRT analogue:
+                                         # the int8 engine mode the
+                                         # reference's fp16 builder
+                                         # (onnx2trt.py:21-34) sits beside
     seed: int = 0
 
     @classmethod

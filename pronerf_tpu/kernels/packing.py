@@ -24,7 +24,8 @@ def pack_serving_params(params, statics):
     No-op (returns ``params`` unchanged) outside the Pallas serving path or
     when the panels are already present.
     """
-    if not statics.use_pallas or "nerf_packed" in params:
+    if not statics.use_pallas or "nerf_packed" in params \
+            or "nerf_packed_q" in params:
         return params
     from pronerf_tpu.kernels.fused_minmax import pack_minmax_params
     from pronerf_tpu.kernels.fused_nerf import pack_nerf_params
@@ -32,7 +33,16 @@ def pack_serving_params(params, statics):
     pdt = (
         jnp.bfloat16 if statics.compute_dtype == "bfloat16" else jnp.float32
     )
-    params = dict(params, nerf_packed=pack_nerf_params(params["nerf"], pdt))
+    if statics.quant == "int8":
+        from pronerf_tpu.kernels.fused_nerf_q import pack_nerf_params_int8
+
+        params = dict(
+            params, nerf_packed_q=pack_nerf_params_int8(params["nerf"])
+        )
+    else:
+        params = dict(
+            params, nerf_packed=pack_nerf_params(params["nerf"], pdt)
+        )
     if statics.compute_dtype == "bfloat16" and not statics.mmnetskips:
         params["sampler_packed"] = pack_minmax_params(
             params["sampler"], statics.N_point_ray_enc, pdt

@@ -117,6 +117,11 @@ class RenderStatics:
                               # .py) — applies to the deterministic Pallas
                               # branch over u8-packed scenes; other configs
                               # fall back to the row-major graph
+    quant: str = "none"       # 'int8': run the fused NeRF kernel with int8
+                              # MXU matmuls (kernels/fused_nerf_q.py) —
+                              # calibrated post-training quantization of
+                              # the hidden layers + heads; PE stays bf16.
+                              # Serving-only opt-in (requires use_pallas)
 
     # -- factories reproducing the reference's behavior matrix ------------
     @staticmethod
@@ -469,12 +474,6 @@ def render_rays(params, rays, scene, controls, statics: RenderStatics):
             pack_nerf_params,
         )
 
-        packed = params.get("nerf_packed")
-        if packed is None:
-            packed = pack_nerf_params(
-                params["nerf"],
-                jnp.bfloat16 if cdt is not None else jnp.float32,
-            )
         kdt = jnp.bfloat16 if cdt is not None else jnp.float32
         d_pe = positional_encoding(rays["viewdirs"], statics.multires_views)
         wv = params["nerf"]["views"]["w"]
@@ -503,25 +502,50 @@ def render_rays(params, rays, scene, controls, statics: RenderStatics):
             and not statics.explore and not statics.clamp_raw
             and statics.use_mm
         )
-        if fuse_comp:
-            out_k = fused_nerf_composite_t(
-                packed, pts24_t, vcon_t,
-                z_vals.T.astype(jnp.float32),
-                mm_add.T.astype(jnp.float32),
-                mm_mul.T.astype(jnp.float32),
-                jnp.linalg.norm(ndc_d, axis=-1)[None, :].astype(jnp.float32),
-                n_samples=n_s, white_bkgd=statics.white_bkgd,
+        if statics.quant == "int8":
+            # int8 MXU serving path (opt-in; composite stays in XLA —
+            # fuse_composite measured worse there anyway, see above)
+            from pronerf_tpu.kernels.fused_nerf_q import (
+                fused_nerf_raw_tq,
+                pack_nerf_params_int8,
+            )
+
+            packed_q = params.get("nerf_packed_q")
+            if packed_q is None:
+                packed_q = pack_nerf_params_int8(params["nerf"])
+            raw = fused_nerf_raw_tq(
+                packed_q, pts24_t, vcon_t, n_samples=n_s,
                 rays_per_block=statics.pallas_block_rays,
                 interpret=jax.default_backend() != "tpu",
             )
-            comp = out_k
-            sigma_out = out_k["sigma"]
         else:
-            raw = fused_nerf_raw_t(
-                packed, pts24_t, vcon_t, n_samples=n_s,
-                rays_per_block=statics.pallas_block_rays,
-                interpret=jax.default_backend() != "tpu",
-            )
+            packed = params.get("nerf_packed")
+            if packed is None:
+                packed = pack_nerf_params(
+                    params["nerf"],
+                    jnp.bfloat16 if cdt is not None else jnp.float32,
+                )
+            if fuse_comp:
+                out_k = fused_nerf_composite_t(
+                    packed, pts24_t, vcon_t,
+                    z_vals.T.astype(jnp.float32),
+                    mm_add.T.astype(jnp.float32),
+                    mm_mul.T.astype(jnp.float32),
+                    jnp.linalg.norm(ndc_d, axis=-1)[None, :].astype(
+                        jnp.float32
+                    ),
+                    n_samples=n_s, white_bkgd=statics.white_bkgd,
+                    rays_per_block=statics.pallas_block_rays,
+                    interpret=jax.default_backend() != "tpu",
+                )
+                comp = out_k
+                sigma_out = out_k["sigma"]
+            else:
+                raw = fused_nerf_raw_t(
+                    packed, pts24_t, vcon_t, n_samples=n_s,
+                    rays_per_block=statics.pallas_block_rays,
+                    interpret=jax.default_backend() != "tpu",
+                )
     else:
         x_pe = positional_encoding(query_pts, statics.multires)
         d_pe = positional_encoding(rays["viewdirs"], statics.multires_views)

@@ -82,6 +82,8 @@ def _infer_statics(cfg: Config, use_bf16: bool) -> RenderStatics:
     return RenderStatics.infer(
         compute_dtype="bfloat16" if use_bf16 else cfg.compute_dtype,
         use_pallas=cfg.use_pallas and cfg.netarch == "nerf",
+        quant=cfg.quant if cfg.use_pallas and cfg.netarch == "nerf"
+        else "none",
         gather_tiles=cfg.gather_tiles,
         gather_split=cfg.gather_split,
         transposed=cfg.transposed,

@@ -108,6 +108,13 @@ class Config:
                                          # form measured 13x slower at train
                                          # index volumes), 0 all-views,
                                          # 1 per-view (A/B opt-in)
+    gather_bf16: int = -1                # bf16-cast the deterministic-path
+                                         # epipolar colors at the gather
+                                         # (halves the rays-on-lanes layout
+                                         # copy; the fused kernels cast to
+                                         # bf16 anyway): -1 auto (on when
+                                         # the fused serving kernels run),
+                                         # 0 off, 1 force
     gather_split: bool = False           # serving u8 gathers as 3 rank-1
                                          # word takes instead of one [P,3]
                                          # row take. Measured 3-7x slower on

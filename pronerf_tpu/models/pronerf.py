@@ -99,6 +99,13 @@ class RenderStatics:
                                # tiles (0 = off; -1 = auto from H*W at
                                # renderer build). Full-res serving path.
     gather_window_rows: int = 0  # source-row band height per tile window
+    gather_bf16: int = -1  # cast + barrier the deterministic-path epipolar
+                           # colors to bf16 at the gather (moves the
+                           # rays-on-lanes layout boundary from 12 B/point
+                           # u32 words to 6 B/point colors; the fused
+                           # kernels cast input to bf16 anyway). -1 auto
+                           # (= on when the fused MinMax kernels serve),
+                           # 0 off, 1 force
     gather_split: bool = False  # serving u8 gathers as three rank-1 word
                                 # takes (no [P, 3] relayout) instead of one
                                 # [P, 3] row take. MEASURED 3-7x SLOWER on
@@ -379,6 +386,12 @@ def render_rays(params, rays, scene, controls, statics: RenderStatics):
         # ray batch and gather through dynamic source-row windows.
         nearest = _nearest_views(statics, scene, controls)
         imgs = scene["images"]
+        gdt = (
+            jnp.bfloat16
+            if (statics.gather_bf16 == 1
+                or (statics.gather_bf16 == -1 and mm_kernel))
+            else None
+        )
         windowed = (
             statics.gather_tiles > 0 and statics.gather_window_rows > 0
             and imgs.ndim == 4 and imgs.dtype == jnp.int32
@@ -390,14 +403,14 @@ def render_rays(params, rays, scene, controls, statics: RenderStatics):
                 imgs, scene["fused_mats"], scene["K"], nearest,
                 rays["or_o"], rays["or_d"], jax.lax.stop_gradient(z3d),
                 statics.gather_tiles, statics.gather_window_rows,
-                split=statics.gather_split,
+                split=statics.gather_split, out_dtype=gdt,
             )
         else:
             is_u8 = imgs.ndim == 4 and imgs.dtype == jnp.int32
             colors = epipolar_colors_shared(
                 imgs, scene["fused_mats"], scene["K"], nearest,
                 rays["or_o"], rays["or_d"], jax.lax.stop_gradient(z3d),
-                split=statics.gather_split and is_u8,
+                split=statics.gather_split and is_u8, out_dtype=gdt,
             )  # [N, V, S, 3]
     colors = mean_fill_invalid(colors)
     colors = jax.lax.stop_gradient(colors)
@@ -413,8 +426,13 @@ def render_rays(params, rays, scene, controls, statics: RenderStatics):
         packed_r = params.get("refine_packed")
         if packed_r is None:
             packed_r = pack_minmax_params(params["refine"], S, kdt_mm)
+        # match dtypes so a bf16 gather boundary isn't promoted back to f32
+        # at the concat (the kernel casts to bf16 on entry either way)
         refine_out = fused_minmax_t(
-            packed_r, jnp.concatenate([sig_t, epi_flat.T], axis=0),
+            packed_r,
+            jnp.concatenate(
+                [sig_t.astype(epi_flat.dtype), epi_flat.T], axis=0
+            ),
             rays_per_block=statics.pallas_block_rays, interpret=interp,
         )[:, : 4 * S + 3]
     elif fold_mm:

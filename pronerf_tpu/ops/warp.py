@@ -401,8 +401,27 @@ def epipolar_colors_per_view(images, fused_mats, K, view_idx, rays_o, rays_d,
     return out
 
 
+def _cast_barrier(c, out_dtype):
+    """Serving-path layout-boundary cast (``out_dtype='bfloat16'``).
+
+    The downstream fused kernels consume the epipolar colors transposed
+    (rays on lanes), so XLA must relayout the gather results; left alone it
+    places that copy on the 12 B/point u32 corner words (measured 32 x
+    ~0.5 ms/frame at 1008x756). Casting the lerped colors to bf16 and
+    pinning them with an ``optimization_barrier`` moves the layout boundary
+    to a 6 B/point tensor — the kernels cast their input to bf16 anyway
+    (kernels/fused_minmax.py:112), so valid colors are bit-identical; only
+    the mean-fill arithmetic for INVALID projections runs in bf16 (~1 ulp).
+    """
+    if out_dtype is None:
+        return c
+    import jax
+
+    return jax.lax.optimization_barrier(c.astype(out_dtype))
+
+
 def epipolar_colors_shared(images, fused_mats, K, view_ids, rays_o, rays_d,
-                           z3d, split: bool = False):
+                           z3d, split: bool = False, out_dtype=None):
     """Epipolar colors when ALL rays share the same source views (the
     deterministic eval/inference selection, ``run_S_eS_eN_alter_trt.py:281-284``).
 
@@ -450,13 +469,13 @@ def epipolar_colors_shared(images, fused_mats, K, view_ids, rays_o, rays_d,
             c = bilinear_sample_packed(img_v, zero, xn, yn)
         else:
             c = bilinear_sample(img_v, zero, xn, yn)
-        outs.append(c)
+        outs.append(_cast_barrier(c, out_dtype))
     return jnp.stack(outs, axis=1)
 
 
 def epipolar_colors_shared_windowed(
     images, fused_mats, K, view_ids, rays_o, rays_d, z3d,
-    n_tiles: int, window_rows: int, split: bool = False,
+    n_tiles: int, window_rows: int, split: bool = False, out_dtype=None,
 ):
     """Shared-view epipolar colors through per-tile SOURCE-ROW WINDOWS —
     the full-resolution serving path.
@@ -562,7 +581,9 @@ def epipolar_colors_shared_windowed(
                     top = c00 * (1.0 - wxs) + c01 * wxs
                     bot = c10 * (1.0 - wxs) + c11 * wxs
                     chans.append((top * (1.0 - wys) + bot * wys) * hit_f)
-                tile_cols.append(jnp.stack(chans, axis=-1))
+                tile_cols.append(
+                    _cast_barrier(jnp.stack(chans, axis=-1), out_dtype)
+                )
                 continue
             rows = jnp.take(win, idx_t, axis=0).astype(jnp.uint32)
 
@@ -575,7 +596,11 @@ def epipolar_colors_shared_windowed(
             top = c00 * (1.0 - wx[sl]) + c01 * wx[sl]
             bot = c10 * (1.0 - wx[sl]) + c11 * wx[sl]
             out = top * (1.0 - wy[sl]) + bot * wy[sl]
-            tile_cols.append(out * hit[..., None].astype(out.dtype))
+            tile_cols.append(
+                _cast_barrier(
+                    out * hit[..., None].astype(out.dtype), out_dtype
+                )
+            )
         outs.append(jnp.concatenate(tile_cols, axis=0))
     colors = jnp.stack(outs, axis=1)  # [Np, V, S, 3]
     return colors[:N]

@@ -85,6 +85,7 @@ def _infer_statics(cfg: Config, use_bf16: bool) -> RenderStatics:
         quant=cfg.quant if cfg.use_pallas and cfg.netarch == "nerf"
         else "none",
         gather_tiles=cfg.gather_tiles,
+        gather_bf16=cfg.gather_bf16,
         gather_split=cfg.gather_split,
         transposed=cfg.transposed,
         netarch=cfg.netarch,

@@ -534,3 +534,67 @@ def test_render_rays_windowed_serving_matches_unwindowed():
         np.testing.assert_allclose(
             np.asarray(win[k]), np.asarray(base[k]), atol=atol, err_msg=k
         )
+
+
+def test_render_rays_gather_bf16_statics_match():
+    """gather_bf16 moves the serving layout boundary to bf16 colors; the
+    fused kernels cast their input to bf16 regardless, so valid colors are
+    bit-identical and only the invalid-fill means shift by ~1 ulp of bf16.
+    Render outputs must agree tightly between the forced and disabled
+    settings of the serving graph."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from pronerf_tpu.models import (
+        RenderStatics,
+        init_pronerf_params,
+        render_rays,
+    )
+    from pronerf_tpu.render import prepare_scene
+    from pronerf_tpu.render.raygen import rays_for_pose
+    from pronerf_tpu.utils.synthetic import make_scene
+
+    sc = make_scene(n_views=5, H=16, W=20, seed=0)
+    H, W, _ = sc["hwf"]
+    scene = prepare_scene(sc["images"], sc["poses"], sc["K"])
+    params = init_pronerf_params(jax.random.PRNGKey(0))
+    rays = rays_for_pose(H, W, sc["K"], sc["poses"][1])
+    controls = {
+        "rng": jax.random.PRNGKey(0),
+        "target_t": jnp.asarray(sc["poses"][1][:3, 3]),
+    }
+    serve = RenderStatics.infer(
+        compute_dtype="bfloat16", use_pallas=True, pallas_block_rays=128
+    )
+    off = render_rays(
+        params, rays, scene, controls,
+        dataclasses.replace(serve, gather_bf16=0),
+    )
+    on = render_rays(
+        params, rays, scene, controls,
+        dataclasses.replace(serve, gather_bf16=1),
+    )
+    # auto (-1) == forced on under the fused serving kernels
+    auto = render_rays(params, rays, scene, controls, serve)
+    for k in ("rgb1", "rgb0", "depth"):
+        np.testing.assert_array_equal(
+            np.asarray(auto[k]), np.asarray(on[k]), err_msg=k
+        )
+        np.testing.assert_allclose(
+            np.asarray(on[k]), np.asarray(off[k]), atol=1e-2, err_msg=k
+        )
+    # windowed serving graph honors the knob the same way
+    win_on = render_rays(
+        params, rays, scene, controls,
+        dataclasses.replace(serve, gather_tiles=4, gather_window_rows=H),
+    )
+    win_off = render_rays(
+        params, rays, scene, controls,
+        dataclasses.replace(serve, gather_tiles=4, gather_window_rows=H,
+                            gather_bf16=0),
+    )
+    np.testing.assert_allclose(
+        np.asarray(win_on["rgb1"]), np.asarray(win_off["rgb1"]), atol=1e-2
+    )

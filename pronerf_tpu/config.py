@@ -114,7 +114,9 @@ class Config:
                                          # copy; the fused kernels cast to
                                          # bf16 anyway): -1 auto (on when
                                          # the fused serving kernels run),
-                                         # 0 off, 1 force
+                                         # 0 off, 1 force. Row-major graph
+                                         # only; `transposed=True` ignores
+                                         # this knob
     gather_split: bool = False           # serving u8 gathers as 3 rank-1
                                          # word takes instead of one [P,3]
                                          # row take. Measured 3-7x slower on

@@ -105,7 +105,10 @@ class RenderStatics:
                            # u32 words to 6 B/point colors; the fused
                            # kernels cast input to bf16 anyway). -1 auto
                            # (= on when the fused MinMax kernels serve),
-                           # 0 off, 1 force
+                           # 0 off, 1 force. ROW-MAJOR deterministic graph
+                           # only: the transposed pipeline
+                           # (``transposed=True``) emits its own layout and
+                           # ignores this knob entirely.
     gather_split: bool = False  # serving u8 gathers as three rank-1 word
                                 # takes (no [P, 3] relayout) instead of one
                                 # [P, 3] row take. MEASURED 3-7x SLOWER on

@@ -78,6 +78,14 @@ def export_renderer(
     """
     if statics is None:
         statics = RenderStatics.infer(compute_dtype=compute_dtype)
+    # Resolve auto knobs (gather_tiles=-1, tile_rays=0) the same way
+    # make_frame_renderer will, so the manifest records the EXACT statics
+    # embedded in the serialized graph — a consumer rebuilding statics via
+    # statics_from_manifest gets the graph the artifact contains.
+    from pronerf_tpu.render.renderer import resolve_gather_statics
+
+    resolved_tile = H * W if (not tile_rays or tile_rays >= H * W) else tile_rays
+    statics = resolve_gather_statics(statics, H, W, resolved_tile)
     renderer = make_frame_renderer(statics, H, W, K, tile_rays, unroll=unroll)
     c2w = jax.numpy.eye(3, 4)
     exported = jax_export.export(renderer)(params, scene, c2w)

@@ -102,7 +102,11 @@ def _eval_scenes(cfg, stage, i, expdir, datas, scenes, states_s, names):
         if len(data["i_test"]) == 0:
             continue
         params = _slice_scene(states_s, s_idx)["params"]
-        idx = np.asarray(data["i_test"][:1])
+        # All held-out poses (capped by max_images like the reference's
+        # --max_images, run_S_eS_eN_alter_trt.py:794-795) so the printed
+        # per-scene PSNR is a true test-set mean, not a single-view sample.
+        cap = cfg.max_images if cfg.max_images else len(data["i_test"])
+        idx = np.asarray(data["i_test"][:cap])
         res = render_path(
             data["poses"][idx], params, scenes[s_idx], statics,
             data["H"], data["W"], data["K"],

@@ -1,15 +1,21 @@
 """INT8 variant of the fused PE -> NeRF MLP Pallas kernel (serving only).
 
-Why: the bf16 kernel is MXU-bound (~78-82% standalone MFU — fused_nerf.py),
-and the v5e MXU runs int8 x int8 -> int32 at 2x the bf16 rate (394 vs 197
-TOPS). Quantizing the eight 256-wide hidden matmuls plus the heads (~97% of
-the NeRF FLOPs) halves the kernel's MXU time; the positional-encoding
-consumers (w0/w5 PE rows, K=63) and the sin/cos stay bf16/f32 so the
-fine-grained position signal is never quantized. The reference's analogue
-is TensorRT's int8 engine mode (the release builds FP16 engines,
-``onnx2trt.py:21-34``; int8 is the standard next notch of the same tool) —
-this path is the TPU equivalent, exposed as the opt-in ``quant = int8``
-serving knob with bf16 remaining the parity default.
+Motivation: the bf16 kernel is MXU-bound (~78-82% standalone MFU —
+fused_nerf.py), and the v5e MXU's NOMINAL int8 rate is 2x bf16 (394 vs 197
+TOPS). MEASURED RESULT (rounds 3-4, results/probes_r3/int8_kernel.txt and
+results/probes_r4_serving.txt): this kernel does NOT realize that rate —
+int8 runs slightly SLOWER than the bf16 kernel standalone (11.2 vs 10.4 ms
+at N=190512; reproduced across sessions), so ``quant = int8`` is a
+measured NEGATIVE result kept as a documented A/B knob, not a speed
+option. See docs/DESIGN.md for the attribution (the inter-layer requant
+chain runs on the VPU serially with the MXU; Mosaic's int8 dot does not
+deliver a 2x wall-clock win at these shapes). The quantization chain
+itself is sound: per-channel calibrated activations hold render quality
+(tests/test_fused_nerf_q.py), the positional-encoding consumers (w0/w5 PE
+rows, K=63) and sin/cos stay bf16/f32. The reference's analogue is
+TensorRT's int8 engine mode (the release builds FP16 engines,
+``onnx2trt.py:21-34``); bf16 remains both the parity default and the
+faster path.
 
 Scheme (classic integer-only inference, all scales folded at pack time):
 

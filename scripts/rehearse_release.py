@@ -1,0 +1,164 @@
+"""Fern-scale release dress rehearsal: the COMPLETE CLI protocol from a
+full on-disk LLFF capture directory.
+
+Round-3 gap (VERDICT): every fern-scale run used the in-memory
+``--synthetic`` path; the release protocol had only been exercised from
+disk on a 40x32 fixture. This script writes the consistent synthetic scene
+as a REAL LLFF capture at the fern raw resolution (2016x1512, 17 views —
+so ``factor 4`` training hits the reference's 504x378x17 operating point
+and ``_minify`` resizes for real, ``load_llff.py:12-61``), then drives the
+released CLI end to end exactly as a user would on fern:
+
+  train-stage1 -> train-stage2 -> eval --use-trt -> export
+  -> infer --from-export -> scripts/verify_fern.py-style summary
+
+Each stage is a SUBPROCESS of ``python -m pronerf_tpu.cli`` — the actual
+release surface, exercising the LLFF loader (poses_bounds + minify), the
+COLMAP greedy cover (``load_llff.py:499-547`` semantics) and the holdout
+split (llffhold=8) at real shapes.
+
+Usage:
+  python scripts/rehearse_release.py [--s1 3000] [--s2 1500] [--scan 50]
+      [--root data/rehearsal_fern] [--basedir logs_rehearsal]
+Writes a JSON summary to results/rehearsal_fern.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import re
+import subprocess
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def build_dataset(root: pathlib.Path, n_views: int, H: int, W: int):
+    if (root / "poses_bounds.npy").exists():
+        print(f"[REHEARSAL] dataset exists at {root}")
+        return
+    from pronerf_tpu.utils.fixtures import write_llff_scene
+    from pronerf_tpu.utils.synthetic import make_consistent_scene
+
+    t0 = time.time()
+    print(f"[REHEARSAL] generating consistent scene {W}x{H}x{n_views} ...",
+          flush=True)
+    scene = make_consistent_scene(
+        n_views=n_views, H=H, W=W, focal=0.875 * W, seed=0
+    )
+    write_llff_scene(root, scene)
+    print(f"[REHEARSAL] wrote {root} in {time.time() - t0:.0f}s", flush=True)
+
+
+def run(cmd, log_path):
+    print(f"[REHEARSAL] $ {' '.join(cmd)}", flush=True)
+    t0 = time.time()
+    proc = subprocess.run(
+        cmd, cwd=REPO, capture_output=True, text=True
+    )
+    out = proc.stdout + proc.stderr
+    pathlib.Path(log_path).write_text(out)
+    dt = time.time() - t0
+    if proc.returncode != 0:
+        print(out[-4000:])
+        raise SystemExit(f"stage failed rc={proc.returncode} ({dt:.0f}s)")
+    print(f"[REHEARSAL] ok in {dt:.0f}s", flush=True)
+    return out, dt
+
+
+def last_psnrs(text):
+    """All 'Mean Test PSNR <x>' values, in print order (rgb1 then rgb0)."""
+    return [float(m) for m in re.findall(r"Mean Test PSNR ([0-9.]+)", text)]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--s1", type=int, default=3000)
+    ap.add_argument("--s2", type=int, default=1500)
+    ap.add_argument("--scan", type=int, default=50)
+    ap.add_argument("--views", type=int, default=17)
+    ap.add_argument("--raw-h", type=int, default=1512)
+    ap.add_argument("--raw-w", type=int, default=2016)
+    ap.add_argument("--root", default="data/rehearsal_fern")
+    ap.add_argument("--basedir", default="logs_rehearsal")
+    args = ap.parse_args()
+
+    root = REPO / args.root
+    base = REPO / args.basedir
+    base.mkdir(parents=True, exist_ok=True)
+    results = {"spec": vars(args)}
+
+    build_dataset(root, args.views, args.raw_h, args.raw_w)
+
+    cli = [sys.executable, "-m", "pronerf_tpu.cli"]
+    common = ["--datadir", str(root), "--basedir", str(base),
+              "--scan_steps", str(args.scan)]
+
+    out, dt = run(
+        cli + ["train-stage1", "--config", "configs/llff/fern/fern_epi.txt",
+               "--max-steps", str(args.s1), "--no-reload", "--",
+               *common, "--i_weights", str(args.s1), "--i_testset", "0",
+               "--i_video", "0"],
+        base / "s1.log",
+    )
+    results["s1_seconds"] = dt
+    s1_exp = base / "fern_sampler_e2e_donerf_8samples_cc"
+
+    out, dt = run(
+        cli + ["train-stage2", "--config",
+               "configs/llff/fern/fern_refine.txt",
+               "--max-steps", str(args.s2), "--no-reload",
+               "--pretrain-path", str(s1_exp), "--",
+               *common, "--i_weights", str(args.s2), "--i_testset", "0",
+               "--i_video", "0"],
+        base / "s2.log",
+    )
+    results["s2_seconds"] = dt
+    s2_exp = base / "fern_refine_8samples_v2"
+
+    ckpt = sorted(s2_exp.glob("*.ckpt"))[-1]
+    out, dt = run(
+        cli + ["eval", "--config", "configs/llff/fern/fern_trt.txt",
+               "--checkpoint", str(ckpt), "--use-trt", "--",
+               "--datadir", str(root), "--basedir", str(base)],
+        base / "eval.log",
+    )
+    results["eval_seconds"] = dt
+    ps = last_psnrs(out)
+    results["eval_psnr_rgb1"] = ps[0] if ps else None
+    results["eval_psnr_rgb0"] = ps[1] if len(ps) > 1 else None
+    m = re.search(r"Steady-state render ms/frame[^:]*: ([0-9.]+)", out)
+    results["eval_ms_frame"] = float(m.group(1)) if m else None
+
+    out, dt = run(
+        cli + ["export", "--config", "configs/llff/fern/fern_trt.txt",
+               "--checkpoint", str(ckpt), "--use-trt", "--",
+               "--datadir", str(root), "--basedir", str(base)],
+        base / "export.log",
+    )
+    results["export_seconds"] = dt
+    m = re.search(r"Exported AOT renderer to (\S+)", out)
+    export_dir = m.group(1)
+
+    out, dt = run(
+        cli + ["infer", "--config", "configs/llff/fern/fern_trt.txt",
+               "--from-export", export_dir, "--max-images", "2", "--",
+               "--datadir", str(root), "--basedir", str(base)],
+        base / "infer_export.log",
+    )
+    results["infer_export_seconds"] = dt
+    ps = last_psnrs(out)
+    results["export_psnr_rgb1"] = ps[0] if ps else None
+
+    outp = REPO / "results/rehearsal_fern.json"
+    outp.write_text(json.dumps(results, indent=2))
+    print(json.dumps(results, indent=2))
+    print(f"[REHEARSAL] summary -> {outp}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -56,7 +56,8 @@ def _null_ms(reps: int = 5) -> float:
     return null_dispatch_ms(reps)
 
 
-def run_bench(H=378, W=504, frames_per_loop=6, reps=4):
+def run_bench(H=378, W=504, frames_per_loop=6, reps=4, statics_overrides=None,
+              pack_corners="u8"):
     import jax
     import jax.numpy as jnp
 
@@ -82,10 +83,15 @@ def run_bench(H=378, W=504, frames_per_loop=6, reps=4):
         datadir="synthetic", use_trt=True, tile_rays=0, use_pallas=True,
     )
     statics = _infer_statics(cfg, use_bf16=True)
+    if statics_overrides:
+        import dataclasses
+
+        statics = dataclasses.replace(statics, **statics_overrides)
 
     # Fern-scale scene: 17 training views at the bench resolution.
     sc = make_scene(n_views=17, H=H, W=W, focal=0.8 * W, seed=0)
-    scene = prepare_scene(sc["images"], sc["poses"], sc["K"])
+    scene = prepare_scene(sc["images"], sc["poses"], sc["K"],
+                          pack_corners=pack_corners)
     params = init_pronerf_params(jax.random.PRNGKey(0))
     renderer = make_frame_renderer(
         statics, H, W, sc["K"], tile_rays=cfg.tile_rays, unroll=True

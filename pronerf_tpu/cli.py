@@ -269,7 +269,9 @@ def enable_compilation_cache():
     seconds; without this every process re-compiles the whole-frame graph,
     minutes for the Pallas serving config). Cache dir defaults to
     ``~/.cache/pronerf_tpu/xla``; override with ``PRONERF_XLA_CACHE=<dir>``
-    or disable with ``PRONERF_XLA_CACHE=off``."""
+    or disable with ``PRONERF_XLA_CACHE=off``. The cache is bounded with
+    LRU eviction (default 4 GB — round-3 measured unbounded growth to
+    ~3 GB across a round; ``PRONERF_XLA_CACHE_MAX_GB`` overrides)."""
     import os
 
     cache = os.environ.get(
@@ -285,6 +287,22 @@ def enable_compilation_cache():
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        max_gb = float(os.environ.get("PRONERF_XLA_CACHE_MAX_GB", "4"))
+        if max_gb > 0:
+            jax.config.update(
+                "jax_compilation_cache_max_size", int(max_gb * 1e9)
+            )
+            # entries written before the LRU bound existed have no -atime
+            # sidecar; the evictor raises on them during every put, which
+            # makes NEW writes fail. Backfill from each file's mtime.
+            for f in os.scandir(cache):
+                if f.name.endswith("-cache"):
+                    ap = os.path.join(cache, f.name[: -len("-cache")]
+                                      + "-atime")
+                    if not os.path.exists(ap):
+                        ts = int(f.stat().st_mtime * 1e9)
+                        with open(ap, "wb") as fh:
+                            fh.write(ts.to_bytes(8, "little"))
         return cache
     except Exception as exc:  # cache is an optimization, never fatal
         print(f"[CACHE] persistent compilation cache unavailable: {exc}")

@@ -122,6 +122,14 @@ class Config:
                                          # row take. Measured 3-7x slower on
                                          # v5e (bench_gather_split.py) —
                                          # documented negative-result knob
+    gather_transposed: int = -1          # emit deterministic-path epipolar
+                                         # colors directly in the fused
+                                         # kernels' transposed layout.
+                                         # MEASURED NEGATIVE on v5e (r4:
+                                         # +3.6 ms at 1008x756 — XLA
+                                         # re-inserts the same [P,3]
+                                         # relayout copies); -1 auto (=off),
+                                         # 0 off, 1 force (A/B knob)
     transposed: bool = False             # serving pipeline fully transposed
                                          # (rays on lanes between the fused
                                          # kernels too; models/pronerf_t.py).

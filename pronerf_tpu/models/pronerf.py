@@ -115,6 +115,24 @@ class RenderStatics:
                                 # v5e (the fast gather path only fires for
                                 # row takes; scripts/bench_gather_split.py)
                                 # — kept as the documented A/B knob
+    gather_transposed: int = -1  # deterministic-path epipolar colors emit
+                                 # directly in the transposed kernel layout
+                                 # [V*S*3, N] with the transpose fused into
+                                 # the lerp (ops/warp.py:_lerp_t_block).
+                                 # MEASURED NEGATIVE RESULT on v5e
+                                 # (results/probes_r4_t_emit.txt): 138.3 vs
+                                 # 134.7 ms at 1008x756, 30.0 vs 29.6 at
+                                 # 504x378 — the gather fusion still
+                                 # materializes [P, 3] s32 in its ~42x
+                                 # lane-padded layout and XLA re-inserts
+                                 # the same relayout copies (profile:
+                                 # probes_r4_profile_temit_fullres.txt);
+                                 # axis-1 takes from a [3, rows] table are
+                                 # 2.6x slower (probes_r4_axis1_gather.txt)
+                                 # so the layout cannot be fixed at birth
+                                 # either. -1 auto (= off, row-major
+                                 # graph), 0 off, 1 force (A/B knob).
+                                 # Bit-identical valid colors either way
     train_gather: int = -1     # training-path per-ray warp: -1 auto
                                # (= all-views gather: the per-view sub-cliff
                                # form MEASURED 13x slower at training index
@@ -360,6 +378,7 @@ def render_rays(params, rays, scene, controls, statics: RenderStatics):
 
     # 3. Epipolar color features from per-ray neighbor views (never
     # differentiated — the reference wraps this whole block in no_grad).
+    t_emit = False
     if statics.randomize:
         view_idx = _select_neighbors(statics, rays, scene, controls)
         imgs = scene["images"]
@@ -399,7 +418,44 @@ def render_rays(params, rays, scene, controls, statics: RenderStatics):
             statics.gather_tiles > 0 and statics.gather_window_rows > 0
             and imgs.ndim == 4 and imgs.dtype == jnp.int32
         )
-        if windowed:
+        is_u8 = imgs.ndim == 4 and imgs.dtype == jnp.int32
+        # Transposed emit: produce the fused kernels' rays-on-lanes layout
+        # directly at the gather (ops/warp.py:_lerp_t_block) instead of
+        # paying per-(tile, view) relayout copies toward epi_flat.T below.
+        t_emit = (
+            mm_kernel and is_u8 and not statics.gather_split
+            and statics.gather_transposed == 1
+        )
+        if t_emit:
+            from pronerf_tpu.ops.warp import mean_fill_invalid_sct
+
+            if windowed:
+                from pronerf_tpu.ops.warp import (
+                    epipolar_colors_shared_windowed,
+                )
+
+                epi_v = epipolar_colors_shared_windowed(
+                    imgs, scene["fused_mats"], scene["K"], nearest,
+                    rays["or_o"], rays["or_d"], jax.lax.stop_gradient(z3d),
+                    statics.gather_tiles, statics.gather_window_rows,
+                    out_dtype=gdt, transposed_out=True,
+                )  # [V, S*3, N]
+            else:
+                epi_v = epipolar_colors_shared(
+                    imgs, scene["fused_mats"], scene["K"], nearest,
+                    rays["or_o"], rays["or_d"], jax.lax.stop_gradient(z3d),
+                    out_dtype=gdt, transposed_out=True,
+                )  # [V, S*3, N]
+            n_views = epi_v.shape[0]
+            epi_v = mean_fill_invalid_sct(
+                epi_v.reshape(n_views, S, 3, n_rays)
+            )
+            epi_v = jax.lax.stop_gradient(epi_v)
+            if statics.epi_layout == "svc":
+                epi_t = jnp.swapaxes(epi_v, 0, 1).reshape(-1, n_rays)
+            else:
+                epi_t = epi_v.reshape(-1, n_rays)  # [V*S*3, N]
+        elif windowed:
             from pronerf_tpu.ops.warp import epipolar_colors_shared_windowed
 
             colors = epipolar_colors_shared_windowed(
@@ -409,18 +465,21 @@ def render_rays(params, rays, scene, controls, statics: RenderStatics):
                 split=statics.gather_split, out_dtype=gdt,
             )
         else:
-            is_u8 = imgs.ndim == 4 and imgs.dtype == jnp.int32
             colors = epipolar_colors_shared(
                 imgs, scene["fused_mats"], scene["K"], nearest,
                 rays["or_o"], rays["or_d"], jax.lax.stop_gradient(z3d),
                 split=statics.gather_split and is_u8, out_dtype=gdt,
             )  # [N, V, S, 3]
-    colors = mean_fill_invalid(colors)
-    colors = jax.lax.stop_gradient(colors)
-    if statics.epi_layout == "svc":
-        epi_flat = jnp.swapaxes(colors, 1, 2).reshape(n_rays, -1)  # [N, S*V*3]
+    if not t_emit:
+        colors = mean_fill_invalid(colors)
+        colors = jax.lax.stop_gradient(colors)
+        if statics.epi_layout == "svc":
+            epi_flat = jnp.swapaxes(colors, 1, 2).reshape(n_rays, -1)
+        else:
+            epi_flat = colors.reshape(n_rays, -1)  # [N, V*S*3]
+        epi_t = None
     else:
-        epi_flat = colors.reshape(n_rays, -1)  # [N, V*S*3]
+        epi_flat = None
 
     # 4. Refine net on [Pluecker(candidates) || warped colors]. Same
     # collinearity fold as the sampler: the 8 candidate points share one
@@ -431,10 +490,11 @@ def render_rays(params, rays, scene, controls, statics: RenderStatics):
             packed_r = pack_minmax_params(params["refine"], S, kdt_mm)
         # match dtypes so a bf16 gather boundary isn't promoted back to f32
         # at the concat (the kernel casts to bf16 on entry either way)
+        epi_rows_t = epi_t if epi_t is not None else epi_flat.T
         refine_out = fused_minmax_t(
             packed_r,
             jnp.concatenate(
-                [sig_t.astype(epi_flat.dtype), epi_flat.T], axis=0
+                [sig_t.astype(epi_rows_t.dtype), epi_rows_t], axis=0
             ),
             rays_per_block=statics.pallas_block_rays, interpret=interp,
         )[:, : 4 * S + 3]

@@ -420,8 +420,62 @@ def _cast_barrier(c, out_dtype):
     return jax.lax.optimization_barrier(c.astype(out_dtype))
 
 
+def _lerp_t_block(win, idx, wx, wy, hit, out_dtype):
+    """One (tile, view) u8-pack bilinear sample emitting the TRANSPOSED
+    kernel-consumable block [S*3, nt] — the round-4 serving fast form.
+
+    The [P, 3] u32 row take is the gather emitter's optimum (measured:
+    u8/u16/rank-1/split forms 2-27x slower, results/probes_r4_serving.txt),
+    but its 3-minor result forces XLA to relayout toward the rays-on-lanes
+    fused kernels — 32 x ~0.8 ms/frame of copies at 1008x756 when the
+    transition happens at the downstream ``epi_flat.T``. Fusing the
+    transpose INTO the lerp's output (reshape [nt, S, 3] -> [nt, S*3],
+    then .T) lets XLA emit the transposed bf16 block directly: the probe
+    measures take+lerp+finish at 0.89 ms/(tile, view), i.e. the whole
+    gather+relayout budget collapses from ~58 ms to ~28 ms per frame.
+
+    Bit-identical per element to :func:`bilinear_sample_packed_u8` (same
+    scale-then-lerp order); rows of the block are ordered (s, c) =
+    s * 3 + c, matching ``epi_layout='vsc'`` per-view rows.
+    """
+    import jax
+
+    nt, S = idx.shape
+    rows = jnp.take(win, idx, axis=0).astype(jnp.uint32)  # [nt, S, 3]
+
+    def lane(shift):
+        return ((rows >> shift) & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
+
+    c00, c01, c10, c11 = lane(0), lane(8), lane(16), lane(24)
+    wx = wx[..., None]
+    wy = wy[..., None]
+    top = c00 * (1.0 - wx) + c01 * wx
+    bot = c10 * (1.0 - wx) + c11 * wx
+    out = (top * (1.0 - wy) + bot * wy) * hit[..., None].astype(jnp.float32)
+    blk = out.reshape(nt, S * 3).T
+    if out_dtype is not None:
+        blk = blk.astype(out_dtype)
+    return jax.lax.optimization_barrier(blk)
+
+
+def mean_fill_invalid_sct(colors_t, eps: float = 1e-6):
+    """(s, c)-row twin of :func:`mean_fill_invalid_t` for the transposed
+    gather emit: colors_t [V, S, 3, N] (rays on lanes), validity = channel
+    sum > 0 per (view, sample, ray), fill = mean over valid views —
+    identical semantics to :func:`mean_fill_invalid`
+    (``run_S_eS_eN_alter_base.py:660-662``)."""
+    valid = (jnp.sum(colors_t, axis=2, keepdims=True) > 0).astype(
+        colors_t.dtype
+    )  # [V, S, 1, N]
+    mean = jnp.sum(valid * colors_t, axis=0, keepdims=True) / (
+        jnp.sum(valid, axis=0, keepdims=True) + eps
+    )
+    return colors_t * valid + mean * (1.0 - valid)
+
+
 def epipolar_colors_shared(images, fused_mats, K, view_ids, rays_o, rays_d,
-                           z3d, split: bool = False, out_dtype=None):
+                           z3d, split: bool = False, out_dtype=None,
+                           transposed_out: bool = False):
     """Epipolar colors when ALL rays share the same source views (the
     deterministic eval/inference selection, ``run_S_eS_eN_alter_trt.py:281-284``).
 
@@ -440,8 +494,11 @@ def epipolar_colors_shared(images, fused_mats, K, view_ids, rays_o, rays_d,
       view_ids: [V] int32 source-view ids shared by every ray.
       rays_o, rays_d: [N, 3] original camera-space rays.
       z3d: [N, S] 3D depths.
+      transposed_out: emit the kernel-consumable transposed layout
+        [V, S*3, N] directly (u8-pack bilinear only; see
+        :func:`_lerp_t_block`). Bit-identical values to the default form.
 
-    Returns: colors [N, V, S, 3].
+    Returns: colors [N, V, S, 3], or [V, S*3, N] when ``transposed_out``.
     """
     import jax
 
@@ -458,6 +515,19 @@ def epipolar_colors_shared(images, fused_mats, K, view_ids, rays_o, rays_d,
         img_v = jax.lax.dynamic_index_in_dim(
             images, view_ids[v], axis=0, keepdims=True
         )  # [1, H, W, ...] single-view table
+        if transposed_out:
+            assert images.dtype == jnp.int32 and images.ndim == 4 and not split
+            inb = (xn >= -1.0) & (xn <= 1.0) & (yn >= -1.0) & (yn <= 1.0)
+            u = jnp.clip((xn + 1.0) * 0.5 * (W - 1), 0.0, W - 1)
+            vv = jnp.clip((yn + 1.0) * 0.5 * (H - 1), 0.0, H - 1)
+            x0 = jnp.floor(u).astype(jnp.int32)
+            y0 = jnp.floor(vv).astype(jnp.int32)
+            outs.append(_lerp_t_block(
+                img_v.reshape(H * W, 3), y0 * W + x0,
+                u - x0.astype(u.dtype), vv - y0.astype(vv.dtype), inb,
+                out_dtype,
+            ))
+            continue
         zero = jnp.zeros(xn.shape, jnp.int32)
         if images.dtype == jnp.int32 and images.ndim == 3:
             c = nearest_sample_packed_u8(img_v, zero, xn, yn)
@@ -470,12 +540,15 @@ def epipolar_colors_shared(images, fused_mats, K, view_ids, rays_o, rays_d,
         else:
             c = bilinear_sample(img_v, zero, xn, yn)
         outs.append(_cast_barrier(c, out_dtype))
+    if transposed_out:
+        return jnp.stack(outs, axis=0)  # [V, S*3, N]
     return jnp.stack(outs, axis=1)
 
 
 def epipolar_colors_shared_windowed(
     images, fused_mats, K, view_ids, rays_o, rays_d, z3d,
     n_tiles: int, window_rows: int, split: bool = False, out_dtype=None,
+    transposed_out: bool = False,
 ):
     """Shared-view epipolar colors through per-tile SOURCE-ROW WINDOWS —
     the full-resolution serving path.
@@ -509,8 +582,11 @@ def epipolar_colors_shared_windowed(
       n_tiles: contiguous ray tiles (N is padded to a multiple).
       window_rows: source-band height; W * window_rows * 12 B should sit
         under the ~2.3 MB staging threshold.
+      transposed_out: emit each (tile, view) block directly in the
+        kernel-consumable transposed layout (:func:`_lerp_t_block`) and
+        return [V, S*3, N]. Bit-identical values to the default form.
 
-    Returns: colors [N, V, S, 3].
+    Returns: colors [N, V, S, 3], or [V, S*3, N] when ``transposed_out``.
     """
     import jax
 
@@ -563,6 +639,12 @@ def epipolar_colors_shared_windowed(
             y_loc = y0_t - start
             hit = inb_t & (y_loc >= 0) & (y_loc < wr)
             idx_t = jnp.clip(y_loc, 0, wr - 1) * W + x0[sl]
+            if transposed_out:
+                tile_cols.append(_lerp_t_block(
+                    win, idx_t, wx[sl][..., 0], wy[sl][..., 0], hit,
+                    out_dtype,
+                ))
+                continue
             if split:
                 # three rank-1 word gathers (fully lane-packed results, no
                 # [P, 3] relayout) — see bilinear_sample_packed_u8_split
@@ -601,7 +683,10 @@ def epipolar_colors_shared_windowed(
                     out * hit[..., None].astype(out.dtype), out_dtype
                 )
             )
-        outs.append(jnp.concatenate(tile_cols, axis=0))
+        outs.append(jnp.concatenate(tile_cols, axis=-1 if transposed_out
+                                    else 0))
+    if transposed_out:
+        return jnp.stack(outs, axis=0)[..., :N]  # [V, S*3, N]
     colors = jnp.stack(outs, axis=1)  # [Np, V, S, 3]
     return colors[:N]
 

@@ -87,6 +87,7 @@ def _infer_statics(cfg: Config, use_bf16: bool) -> RenderStatics:
         gather_tiles=cfg.gather_tiles,
         gather_bf16=cfg.gather_bf16,
         gather_split=cfg.gather_split,
+        gather_transposed=cfg.gather_transposed,
         transposed=cfg.transposed,
         netarch=cfg.netarch,
         N_samples=cfg.N_samples,

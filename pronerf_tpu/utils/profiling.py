@@ -121,3 +121,59 @@ def pipeline_macs(H: int, W: int, *, N_samples=8, N_point_ray_enc=48,
         "sampler": rays * _dense_macs(sampler_dims),
         "refine": rays * _dense_macs(refine_dims),
     }
+
+
+def xplane_categories(trace_fn, iters: int = 3, stems=None):
+    """Capture a ``jax.profiler`` trace of ``trace_fn(i)`` x ``iters`` and
+    aggregate TPU device time from the xplane proto, parsed locally (no
+    tensorboard). Returns ``(per_cat, per_op, total_ns)`` where per_cat /
+    per_op are ``collections.Counter`` of duration_ns keyed by op category
+    / full op name. This is the measurement behind every perf decision in
+    DESIGN.md (driven by ``scripts/profile_ops.py`` and
+    ``scripts/profile_train_ops.py``)."""
+    import collections
+    import glob
+    import tempfile
+
+    import jax
+
+    stems = stems or (
+        "fused_nerf", "fused_minmax", "copy", "while", "reshape",
+        "transpose", "pad", "concatenate", "dynamic-slice",
+        "dynamic-update-slice", "bitcast", "select", "broadcast", "iota",
+        "convert", "slice", "reduce", "sort", "scatter", "gather", "all-",
+    )
+
+    tmp = tempfile.mkdtemp(prefix="jaxprof_")
+    with jax.profiler.trace(tmp):
+        for i in range(iters):
+            trace_fn(i)
+
+    files = glob.glob(f"{tmp}/**/*.xplane.pb", recursive=True)
+    if not files:
+        raise RuntimeError(f"no xplane.pb under {tmp}")
+    pd = jax.profiler.ProfileData.from_serialized_xspace(
+        open(files[0], "rb").read()
+    )
+
+    def category(name: str) -> str:
+        head = name.lstrip("%").split(" ")[0].split(".")[0]
+        for stem in stems:
+            if head.startswith(stem):
+                return stem
+        if "fusion" in head:
+            return "fusion"
+        return head
+
+    per_op = collections.Counter()
+    per_cat = collections.Counter()
+    for plane in pd.planes:
+        if "TPU" not in plane.name and "tpu" not in plane.name.lower():
+            continue
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                per_op[ev.name] += ev.duration_ns
+                per_cat[category(ev.name)] += ev.duration_ns
+    return per_cat, per_op, sum(per_op.values())

@@ -1,18 +1,34 @@
-"""Serving start-to-first-frame wall time at the fern serving config.
+"""Serving start-to-first-frame wall time at the fern serving config,
+broken down by phase.
 
 The reference deserializes TRT engines in seconds
 (``trt_infer_v2.py:149-165``); our analogue is the persistent XLA
 compilation cache (``pronerf_tpu.cli.enable_compilation_cache``). This
 script measures process-start -> first rendered frame at 504x378 bf16 +
-fused Pallas kernels (the headline serving graph). Run twice: the first
-run compiles and populates the cache (minutes); the second deserializes
-(seconds). ``--no-cache`` disables the cache for a true-cold baseline.
+fused Pallas kernels (the headline serving graph) and attributes the time
+to phases:
+
+  imports    : python interpreter + jax + pronerf_tpu module imports
+  backend    : jax backend/client init (the tunnel session handshake)
+  host_build : synthetic scene + params on host (numpy)
+  device_put : scene/params upload + block
+  trace      : jax tracing of the frame graph (renderer.lower)
+  compile    : XLA compile — on a warm cache this is the cache read +
+               executable deserialize, the TRT-engine analogue
+  first_frame: first dispatch + host readback
+  steady     : one more frame (dispatch + readback), for reference
+
+Run twice: the first run compiles and populates the cache (minutes); the
+second deserializes (seconds). ``--no-cache`` disables the cache for a
+true-cold baseline.
 
 Usage: python scripts/bench_coldstart.py [--no-cache] [--res HxW]
 """
 
 from __future__ import annotations
 
+import json
+import os
 import pathlib
 import sys
 import time
@@ -28,10 +44,20 @@ def main():
         if a.startswith("--res"):
             h, w = sys.argv[sys.argv.index(a) + 1].split("x")
             H, W = int(h), int(w)
+    phases = {}
+    t_prev = T_START
+
+    def mark(name):
+        nonlocal t_prev
+        now = time.time()
+        phases[name] = round(now - t_prev, 2)
+        t_prev = now
+
+    cache_dir = None
     if "--no-cache" not in sys.argv:
         from pronerf_tpu.cli import enable_compilation_cache
 
-        print("cache:", enable_compilation_cache())
+        cache_dir = enable_compilation_cache()
 
     import jax
     import jax.numpy as jnp
@@ -46,27 +72,58 @@ def main():
     from pronerf_tpu.utils.profiling import readback
     from pronerf_tpu.utils.synthetic import make_scene
 
+    mark("imports")
+
+    jax.devices()  # force backend/client init (tunnel session handshake)
+    mark("backend")
+
     cfg = Config.from_file(
         DEFAULT_TRT_CONFIG, datadir="synthetic", use_trt=True,
         tile_rays=0, use_pallas=True,
     )
     statics = _infer_statics(cfg, use_bf16=True)
     sc = make_scene(n_views=17, H=H, W=W, focal=0.8 * W, seed=0)
-    scene = prepare_scene(sc["images"], sc["poses"], sc["K"])
-    params = init_pronerf_params(jax.random.PRNGKey(0))
-    renderer = make_frame_renderer(
-        statics, H, W, sc["K"], tile_rays=0, unroll=True
-    )
-    t_setup = time.time()
-    out = renderer(params, scene, jnp.asarray(sc["poses"][0]))
+    scene_np = prepare_scene(sc["images"], sc["poses"], sc["K"])
+    params_host = init_pronerf_params(jax.random.PRNGKey(0))
+    c2w = np.asarray(sc["poses"][0])
+    mark("host_build")
+
+    scene = jax.block_until_ready(jax.device_put(scene_np))
+    params = jax.block_until_ready(jax.device_put(params_host))
+    c2w_d = jax.block_until_ready(jnp.asarray(c2w))
+    mark("device_put")
+
+    renderer = make_frame_renderer(statics, H, W, sc["K"], tile_rays=0,
+                                   unroll=True)
+    lowered = renderer.lower(params, scene, c2w_d)
+    mark("trace")
+
+    compiled = lowered.compile()
+    mark("compile")
+
+    out = compiled(params, scene, c2w_d)
     readback(out["rgb1"])
     assert np.all(np.isfinite(np.asarray(out["rgb1"])))
-    t_frame = time.time()
-    print(
-        f"start-to-first-frame: {t_frame - T_START:.1f}s "
-        f"(setup {t_setup - T_START:.1f}s, "
-        f"compile+render {t_frame - t_setup:.1f}s) at {W}x{H}"
-    )
+    mark("first_frame")
+
+    out = compiled(params, scene, c2w_d + 1e-7)
+    readback(out["rgb1"])
+    mark("steady")
+
+    total = time.time() - T_START
+    cache_bytes = None
+    if cache_dir and os.path.isdir(cache_dir):
+        cache_bytes = sum(
+            f.stat().st_size for f in pathlib.Path(cache_dir).rglob("*")
+            if f.is_file()
+        )
+    print(json.dumps({
+        "res": f"{W}x{H}",
+        "total_s": round(total, 1),
+        "phases_s": phases,
+        "cache": cache_dir,
+        "cache_mb": round(cache_bytes / 1e6, 1) if cache_bytes else None,
+    }))
 
 
 if __name__ == "__main__":

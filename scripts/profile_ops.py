@@ -54,51 +54,15 @@ def main():
 
     readback(renderer(params, scene, c2w)["rgb1"])  # warm
 
-    tmp = tempfile.mkdtemp(prefix="jaxprof_")
-    with jax.profiler.trace(tmp):
-        for i in range(3):
-            readback(renderer(params, scene, c2w + i * 1e-7)["rgb1"])
+    from pronerf_tpu.utils.profiling import xplane_categories
 
-    # parse the xplane proto
-    files = glob.glob(f"{tmp}/**/*.xplane.pb", recursive=True)
-    if not files:
-        raise SystemExit(f"no xplane.pb under {tmp}")
-    pd = jax.profiler.ProfileData.from_serialized_xspace(
-        open(files[0], "rb").read()
+    per_cat, per_op, total = xplane_categories(
+        lambda i: readback(renderer(params, scene, c2w + i * 1e-7)["rgb1"]),
+        iters=3,
     )
-    per_op = collections.Counter()
-    per_cat = collections.Counter()
-    cat_n = collections.Counter()
-
-    def category(name: str) -> str:
-        head = name.lstrip("%").split(" ")[0].split(".")[0]
-        for stem in ("fused_nerf", "fused_minmax", "copy", "while",
-                     "reshape", "transpose", "pad", "concatenate",
-                     "dynamic-slice", "dynamic-update-slice", "bitcast",
-                     "select", "broadcast", "iota", "convert", "slice",
-                     "reduce", "sort"):
-            if head.startswith(stem):
-                return stem
-        if "fusion" in head:
-            return "fusion"
-        return head
-
-    for plane in pd.planes:
-        if "TPU" not in plane.name and "tpu" not in plane.name.lower():
-            continue
-        for line in plane.lines:
-            if line.name != "XLA Ops":
-                continue
-            for ev in line.events:
-                dur = ev.duration_ns
-                per_op[ev.name] += dur
-                per_cat[category(ev.name)] += dur
-                cat_n[category(ev.name)] += 1
-    total = sum(per_op.values())
     for cat, ns in per_cat.most_common():
         print(json.dumps({
             "category": cat, "ms_per_frame": round(ns / 3e6, 3),
-            "n_events_3frames": cat_n[cat],
             "pct": round(100 * ns / total, 1),
         }))
     print(json.dumps({"mode": MODE, "transposed": TRANSPOSED,

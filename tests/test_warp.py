@@ -598,3 +598,106 @@ def test_render_rays_gather_bf16_statics_match():
     np.testing.assert_allclose(
         np.asarray(win_on["rgb1"]), np.asarray(win_off["rgb1"]), atol=1e-2
     )
+
+
+def test_warp_transposed_out_matches_row_major():
+    """transposed_out emits the same values as the row-major form for both
+    shared gathers: [V, S*3, N] is a pure re-layout of [N, V, S, 3]."""
+    import jax
+    import jax.numpy as jnp
+
+    from pronerf_tpu.ops.warp import (
+        build_corner_stack_u8,
+        epipolar_colors_shared,
+        epipolar_colors_shared_windowed,
+        fuse_projection,
+    )
+    from pronerf_tpu.utils.synthetic import make_scene
+
+    sc = make_scene(n_views=4, H=20, W=24, seed=3)
+    packed = build_corner_stack_u8(jnp.asarray(sc["images"]))
+    fused = jax.vmap(fuse_projection)(jnp.asarray(sc["poses"]))
+    K = jnp.asarray(sc["K"], jnp.float32)
+    key = jax.random.PRNGKey(0)
+    N, S = 96, 8
+    rays_o = jnp.zeros((N, 3))
+    rays_d = jax.random.normal(key, (N, 3))
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    z3d = jnp.sort(jax.random.uniform(key, (N, S), minval=0.5, maxval=4.0))
+    view_ids = jnp.asarray([0, 1, 2], jnp.int32)
+
+    row = epipolar_colors_shared(
+        packed, fused, K, view_ids, rays_o, rays_d, z3d
+    )  # [N, V, S, 3]
+    t = epipolar_colors_shared(
+        packed, fused, K, view_ids, rays_o, rays_d, z3d,
+        transposed_out=True,
+    )  # [V, S*3, N]
+    want = np.transpose(np.asarray(row), (1, 2, 3, 0)).reshape(3, S * 3, N)
+    np.testing.assert_array_equal(np.asarray(t, np.float32), want)
+
+    row_w = epipolar_colors_shared_windowed(
+        packed, fused, K, view_ids, rays_o, rays_d, z3d,
+        n_tiles=4, window_rows=20,
+    )
+    t_w = epipolar_colors_shared_windowed(
+        packed, fused, K, view_ids, rays_o, rays_d, z3d,
+        n_tiles=4, window_rows=20, transposed_out=True,
+    )
+    want_w = np.transpose(np.asarray(row_w), (1, 2, 3, 0)).reshape(
+        3, S * 3, N
+    )
+    np.testing.assert_array_equal(np.asarray(t_w, np.float32), want_w)
+
+
+def test_render_rays_gather_transposed_statics_match():
+    """The transposed gather emit (gather_transposed) changes only the
+    layout in which the epipolar colors reach the fused refine kernel:
+    serving outputs must match the row-major graph tightly, windowed and
+    unwindowed, at both epi_layouts."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from pronerf_tpu.models import (
+        RenderStatics,
+        init_pronerf_params,
+        render_rays,
+    )
+    from pronerf_tpu.render import prepare_scene
+    from pronerf_tpu.render.raygen import rays_for_pose
+    from pronerf_tpu.utils.synthetic import make_scene
+
+    sc = make_scene(n_views=5, H=16, W=20, seed=0)
+    H, W, _ = sc["hwf"]
+    scene = prepare_scene(sc["images"], sc["poses"], sc["K"])
+    params = init_pronerf_params(jax.random.PRNGKey(0))
+    rays = rays_for_pose(H, W, sc["K"], sc["poses"][1])
+    controls = {
+        "rng": jax.random.PRNGKey(0),
+        "target_t": jnp.asarray(sc["poses"][1][:3, 3]),
+    }
+    for extra in ({}, {"gather_tiles": 4, "gather_window_rows": H},
+                  {"epi_layout": "svc"}):
+        serve = dataclasses.replace(
+            RenderStatics.infer(compute_dtype="bfloat16", use_pallas=True,
+                                pallas_block_rays=128),
+            **extra,
+        )
+        on = render_rays(params, rays, scene, controls,
+                         dataclasses.replace(serve, gather_transposed=1))
+        off = render_rays(params, rays, scene, controls,
+                          dataclasses.replace(serve, gather_transposed=0))
+        # auto (-1) resolves to the row-major graph: the transposed emit
+        # measured slower on v5e (see RenderStatics.gather_transposed)
+        auto = render_rays(params, rays, scene, controls, serve)
+        for k in ("rgb1", "rgb0", "depth"):
+            np.testing.assert_array_equal(
+                np.asarray(auto[k]), np.asarray(off[k]),
+                err_msg=f"auto!=off {k} {extra}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(on[k]), np.asarray(off[k]), atol=2e-6,
+                err_msg=f"on!=off {k} {extra}",
+            )

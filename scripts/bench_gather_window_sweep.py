@@ -123,11 +123,20 @@ def main():
     timed("unwindowed_9.1MB", lambda z: epipolar_colors_shared(
         imgs, M, K, view_ids, ro, rd, z), with_cov=False)
 
-    grid = []
-    for wr in (auto.gather_window_rows, 128, 256):
-        for nt in (4, 8, 16, 32):
-            if (wr, nt) not in grid:
-                grid.append((wr, nt))
+    # Joint (window_rows, tiles) grid (r4, VERDICT next-1c): r3 anchored
+    # wr198 x tiles{4,8,16,32} — tiles4 was 9 ms cheaper but lost coverage
+    # (0.928), tiles16 reached 1.0 at +14 ms. The joint question: do wider
+    # windows at fewer tiles (2.7-3.4 MB tables, the gray zone between the
+    # 2.3 MB fast rate and the 3.1 MB slow rate) keep both? And do SMALLER
+    # windows with more tiles stay on the fast rate at coverage 1.0?
+    grid = [
+        (auto.gather_window_rows, 8),   # the auto point (re-anchor)
+        (auto.gather_window_rows, 16),  # r3 coverage-1.0 point (re-anchor)
+        (280, 4), (256, 4),             # few tiles, wide (over-cliff) bands
+        (240, 6), (220, 6),             # gray-zone tables
+        (160, 12), (128, 16),           # sub-cliff bands, more tiles
+        (160, 16), (128, 24),
+    ]
     for wr, nt in grid:
         timed(f"wr{wr}_tiles{nt}" + ("_split" if SPLIT else ""),
               lambda z, nt=nt, wr=wr: epipolar_colors_shared_windowed(

@@ -47,7 +47,11 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 CPU = "--cpu" in sys.argv
-ARGS = [a for a in sys.argv[1:] if not a.startswith("--")] or ["all"]
+ITERS = 8
+if "--iters" in sys.argv:
+    ITERS = int(sys.argv[sys.argv.index("--iters") + 1])
+ARGS = [a for a in sys.argv[1:]
+        if not a.startswith("--") and not a.isdigit()] or ["all"]
 
 
 def _setup():

@@ -5,9 +5,10 @@ fused_nerf.py), and the v5e MXU's NOMINAL int8 rate is 2x bf16 (394 vs 197
 TOPS). MEASURED RESULT (rounds 3-4, results/probes_r3/int8_kernel.txt and
 results/probes_r4_serving.txt): this kernel does NOT realize that rate —
 int8 runs slightly SLOWER than the bf16 kernel standalone (11.2 vs 10.4 ms
-at N=190512; reproduced across sessions), so ``quant = int8`` is a
-measured NEGATIVE result kept as a documented A/B knob, not a speed
-option. See docs/DESIGN.md for the attribution (the inter-layer requant
+at N=190512; reproduced across sessions) AND in the real serving frame
+(results/probes_r4_int8_frame.txt: 138.2 vs 134.0 ms at 1008x756, 31.9 vs
+29.0 ms at 504x378), so ``quant = int8`` is a measured NEGATIVE result
+kept as a documented A/B knob, not a speed option. See docs/DESIGN.md for the attribution (the inter-layer requant
 chain runs on the VPU serially with the MXU; Mosaic's int8 dot does not
 deliver a 2x wall-clock win at these shapes). The quantization chain
 itself is sound: per-channel calibrated activations hold render quality

@@ -26,7 +26,7 @@ def main():
         build_stage2_step_fn,
         init_stage2_state,
     )
-    from pronerf_tpu.utils.profiling import amortized_timer, readback
+    from pronerf_tpu.utils.profiling import readback
     from pronerf_tpu.utils.synthetic import make_scene
 
     f0 = jax.jit(lambda x: x + 1.0)
@@ -62,23 +62,36 @@ def main():
     s2_fn = build_stage2_step_fn(cfg.replace(lrate=3e-4), H, W, 0.8 * W)
     copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
 
+    # Time each step CHAINED: the scan carry is the optimizer state, so
+    # every iteration truly depends on the previous one. Timing the step
+    # unchained (state as a loop-invariant closure constant, carry only
+    # folding the scalar loss) lets XLA hoist most of the body out of the
+    # loop and reported 8.4 ms/step for a step whose real device cost is
+    # ~19 ms (results/probes_r4_step_timing.txt: unchained 15.0 vs
+    # chained 34.6 vs independent-dispatch 37.5 ms for the stage-1 NeRF
+    # step) — a 2.3x fiction, caught in round 4.
     out = {}
-    for name, fn, state in [
+    iters = 12
+    for name, fn, state0 in [
         ("stage1_nerf_ms", nerf_fn, init_stage1_state(copy(params))),
         ("stage1_sampler_ms", sampler_fn, init_stage1_state(copy(params))),
         ("stage2_ms", s2_fn, init_stage2_state(copy(params))),
     ]:
-        jfn = jax.jit(fn)
-        state, m = jfn(state, scene, batch, bids, controls, 5e-4)
-        readback(m["loss"])
+        @jax.jit
+        def loop(st, fn=fn):
+            def body(st, _):
+                st, m2 = fn(st, scene, batch, bids, controls, 5e-4)
+                return st, m2["loss"]
+            st, losses = jax.lax.scan(body, st, None, length=iters)
+            return losses.sum()
 
-        def step(c, jfn=jfn, state=state):
-            _, m2 = jfn(state, scene, batch, bids, controls, 5e-4)
-            return c + m2["loss"] * 1e-9
-
-        out[name] = round(
-            amortized_timer(step, jnp.float32(0), iters=12, null_ms=null), 3
-        )
+        readback(loop(state0))  # compile + warm
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            readback(loop(state0))
+            times.append((time.perf_counter() - t0) * 1e3)
+        out[name] = round((float(np.median(times)) - null) / iters, 3)
 
     alt = (out["stage1_nerf_ms"] + out["stage1_sampler_ms"]) / 2
     print(json.dumps({

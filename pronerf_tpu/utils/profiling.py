@@ -59,7 +59,14 @@ def device_timer(fn, *args, reps: int = 5):
 def amortized_timer(step_fn, init_carry, iters: int = 8, reps: int = 3,
                     null_ms: float = 0.0):
     """Per-iteration ms of ``carry -> carry`` step_fn, amortized over a
-    scan of ``iters`` inside one dispatch."""
+    scan of ``iters`` inside one dispatch.
+
+    REQUIREMENT: the carry must feed the expensive computation's INPUTS
+    (e.g. ``c2w + 1e-7 * c``), not just fold its outputs. A body whose
+    real work depends only on loop-invariant closure constants can be
+    hoisted/CSE'd by XLA: bench_train timed the stage-1 step that way and
+    reported 8.4 ms/step for a ~19 ms step (2.3x off — see
+    results/probes_r4_step_timing.txt and DESIGN.md round-4 notes)."""
     import jax
 
     @jax.jit

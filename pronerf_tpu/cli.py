@@ -270,8 +270,12 @@ def enable_compilation_cache():
     minutes for the Pallas serving config). Cache dir defaults to
     ``~/.cache/pronerf_tpu/xla``; override with ``PRONERF_XLA_CACHE=<dir>``
     or disable with ``PRONERF_XLA_CACHE=off``. The cache is bounded with
-    LRU eviction (default 4 GB — round-3 measured unbounded growth to
-    ~3 GB across a round; ``PRONERF_XLA_CACHE_MAX_GB`` overrides)."""
+    LRU eviction (default 12 GB; ``PRONERF_XLA_CACHE_MAX_GB`` overrides).
+    The bound was 4 GB in round 4 until the cache filled to 3.99 GB and a
+    back-to-back rerun of the SAME serving graph missed and recompiled
+    (45 s) — an evicted hot entry costs a full recompile, so on a box
+    with disk to spare the bound should comfortably exceed the working
+    set (~10 MB/entry, results/probes_r4_coldstart.txt)."""
     import os
 
     cache = os.environ.get(
@@ -287,7 +291,7 @@ def enable_compilation_cache():
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-        max_gb = float(os.environ.get("PRONERF_XLA_CACHE_MAX_GB", "4"))
+        max_gb = float(os.environ.get("PRONERF_XLA_CACHE_MAX_GB", "12"))
         if max_gb > 0:
             jax.config.update(
                 "jax_compilation_cache_max_size", int(max_gb * 1e9)

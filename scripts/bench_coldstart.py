@@ -101,6 +101,17 @@ def main():
     compiled = lowered.compile()
     mark("compile")
 
+    # Force the REAL input upload + the first device round-trip with a
+    # trivial executable, so `first_frame` below isolates the serving
+    # executable's program-load + execute. (block_until_ready returns
+    # early through the axon tunnel, so the device_put phase above can
+    # under-report the upload — this readback cannot.)
+    leaves = jax.tree_util.tree_leaves((params, scene))
+    touch = jax.jit(lambda *xs: sum(x.ravel()[0].astype(jnp.float32)
+                                    for x in xs))
+    readback(touch(*leaves))
+    mark("touch_inputs")
+
     out = compiled(params, scene, c2w_d)
     readback(out["rgb1"])
     assert np.all(np.isfinite(np.asarray(out["rgb1"])))
@@ -109,6 +120,15 @@ def main():
     out = compiled(params, scene, c2w_d + 1e-7)
     readback(out["rgb1"])
     mark("steady")
+
+    # Second executable load in the SAME process: recompile from the
+    # cache and dispatch once. Separates per-process one-time device
+    # init (only in first_frame above) from per-executable load cost.
+    compiled2 = renderer.lower(params, scene, c2w_d).compile()
+    mark("reload_compile")
+    out = compiled2(params, scene, c2w_d + 2e-7)
+    readback(out["rgb1"])
+    mark("reload_first_frame")
 
     total = time.time() - T_START
     cache_bytes = None

@@ -297,8 +297,22 @@ def run_training(cfg: Config, stage: int):
         lr_fn = lambda s: stage1_lr(s, cfg.lrate, cfg.lrate_decay)
     else:
         if cfg.pretrain_path:
+            # Accept either a checkpoint file or a stage-1 expdir (resolve
+            # to its newest *.ckpt — same semantics as train-multi's
+            # --pretrain-path). Caught by the fern-scale release dress
+            # rehearsal in round 4: the documented
+            # `train-stage2 --pretrain-path <stage1-expdir>` flow crashed
+            # with IsADirectoryError.
+            pre = Path(cfg.pretrain_path)
+            if pre.is_dir():
+                resolved = latest_checkpoint(pre)
+                if resolved is None:
+                    raise FileNotFoundError(
+                        f"--pretrain-path {pre} contains no *.ckpt"
+                    )
+                pre = resolved
             tmp_state = init_stage1_state(params, cfg.weight_decay)
-            tmp_state = stage1_restore(cfg.pretrain_path, tmp_state)
+            tmp_state = stage1_restore(pre, tmp_state)
             params = tmp_state["params"]
         vestigial_nerf = jax.tree_util.tree_map(
             jnp.copy, _init_params(cfg, jax.random.PRNGKey(cfg.seed + 1))["nerf"]

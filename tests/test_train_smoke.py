@@ -61,6 +61,20 @@ def test_stage2_smoke(workdir, capsys):
     assert sorted((workdir / "s2").glob("*.ckpt"))
 
 
+def test_stage2_pretrain_path_accepts_expdir(workdir, capsys):
+    """--pretrain-path may name the stage-1 EXPDIR, not just a ckpt file
+    (release dress-rehearsal regression, round 4: IsADirectoryError).
+    Resolves to the newest *.ckpt like train-multi does."""
+    main(
+        ["train-stage2", "--no-reload", "--max-steps", "2",
+         "--pretrain-path", str(workdir / "s1")]
+        + _common(workdir, "s2_dir")
+    )
+    out = capsys.readouterr().out
+    assert "[TRAIN]" in out
+    assert sorted((workdir / "s2_dir").glob("*.ckpt"))
+
+
 def test_infer_smoke(workdir, capsys):
     s2_ckpt = sorted((workdir / "s2").glob("*.ckpt"))[-1]
     main(

@@ -119,7 +119,14 @@ def load_exported_renderer(export_dir):
     ``call_fn(params, scene, c2w)`` executes the AOT graph. ``scene`` is the
     bundled reference-view scene the artifact was built with (None for
     pre-bundling artifacts).
+
+    Accepts the export DIRECTORY or any artifact path inside it (``export``
+    prints the executable path; feeding that back must work — like handing
+    TensorRT the ``.trt`` file itself, ``trt_infer_v2.py:152-165``).
     """
+    export_dir = Path(export_dir)
+    if export_dir.suffix in {".xla", ".ckpt", ".json"} or export_dir.is_file():
+        export_dir = export_dir.parent
     paths = expected_artifact_paths(export_dir)
     exported = jax_export.deserialize(paths["executable"].read_bytes())
     manifest = json.loads(paths["manifest"].read_text())

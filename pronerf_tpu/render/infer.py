@@ -234,6 +234,13 @@ def run_inference_from_export(cfg: Config, export_dir, timing_reps: int = 0):
         raise SystemExit(
             f"export at {export_dir} predates scene bundling; re-export"
         )
+    # Make the bundled weights + reference views device-resident ONCE.
+    # The checkpoint loads as host numpy; without this every call re-uploads
+    # ~tens of MB through the tunnel (measured 320 vs 134 ms/frame at
+    # 1008x756 — the TRT analogue keeps engine buffers device-side,
+    # trt_infer_v2.py:166-178).
+    params = jax.device_put(params)
+    scene = jax.device_put(scene)
     H, W = manifest["H"], manifest["W"]
     print(f"Serving {H}x{W} frames from {export_dir} "
           f"({manifest['compute_dtype']}, tile_rays={manifest['tile_rays']})")

@@ -80,6 +80,13 @@ def test_export_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(aot["rgb1"]), np.asarray(live["rgb1"]), atol=1e-5
     )
+    # The executable path itself (what `export` prints) must also load —
+    # the release-rehearsal regression where --from-export was handed the
+    # printed .xla path and the loader appended render_frame.xla again.
+    call2, p2, s2, m2 = load_exported_renderer(
+        expected_artifact_paths(tmp_path)["executable"]
+    )
+    assert m2["H"] == H
 
 
 def test_export_bf16_variant(tmp_path):

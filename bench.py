@@ -57,7 +57,7 @@ def _null_ms(reps: int = 5) -> float:
 
 
 def run_bench(H=378, W=504, frames_per_loop=6, reps=4, statics_overrides=None,
-              pack_corners="u8"):
+              pack_corners="u8", n_samples=8, num_neighbor=4):
     import jax
     import jax.numpy as jnp
 
@@ -81,6 +81,7 @@ def run_bench(H=378, W=504, frames_per_loop=6, reps=4, statics_overrides=None,
     cfg = Config.from_file(
         DEFAULT_TRT_CONFIG,
         datadir="synthetic", use_trt=True, tile_rays=0, use_pallas=True,
+        N_samples=n_samples, num_neighbor=num_neighbor,
     )
     statics = _infer_statics(cfg, use_bf16=True)
     if statics_overrides:
@@ -92,7 +93,9 @@ def run_bench(H=378, W=504, frames_per_loop=6, reps=4, statics_overrides=None,
     sc = make_scene(n_views=17, H=H, W=W, focal=0.8 * W, seed=0)
     scene = prepare_scene(sc["images"], sc["poses"], sc["K"],
                           pack_corners=pack_corners)
-    params = init_pronerf_params(jax.random.PRNGKey(0))
+    params = init_pronerf_params(
+        jax.random.PRNGKey(0), N_samples=n_samples, num_neighbor=num_neighbor
+    )
     renderer = make_frame_renderer(
         statics, H, W, sc["K"], tile_rays=cfg.tile_rays, unroll=True
     )

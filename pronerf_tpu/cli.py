@@ -313,7 +313,24 @@ def enable_compilation_cache():
         return None
 
 
+def _honor_platform_env():
+    """Make ``JAX_PLATFORMS`` actually stick. With the axon TPU plugin
+    registered, the env var alone is NOT honored (jax still initializes the
+    TPU backend) — ``jax.config.update('jax_platforms', ...)`` must ALSO be
+    set (the tests' conftest does the same). Without this, a user forcing
+    ``JAX_PLATFORMS=cpu`` for a CPU render silently lands on the TPU —
+    and a "CPU" smoke run can corrupt a concurrent TPU measurement."""
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def main(argv=None):
+    _honor_platform_env()
     args = build_parser().parse_args(argv)
     enable_compilation_cache()
     args.func(args)

@@ -117,6 +117,16 @@ class Config:
                                          # 0 off, 1 force. Row-major graph
                                          # only; `transposed=True` ignores
                                          # this knob
+    explore_buckets: bool = False        # stage-1 NeRF step: lax.switch
+                                         # over power-of-two exploration
+                                         # widths instead of one masked
+                                         # static-64 eval (the device runs
+                                         # only the width covering
+                                         # S * n_mult, E[width] ~ 43 of 64).
+                                         # One executable, no retrace;
+                                         # noise streams sliced from the
+                                         # full width so the widest bucket
+                                         # is bit-identical (train/stage1.py)
     gather_split: bool = False           # serving u8 gathers as 3 rank-1
                                          # word takes instead of one [P,3]
                                          # row take. Measured 3-7x slower on

@@ -526,8 +526,13 @@ def render_rays(params, rays, scene, controls, statics: RenderStatics):
             z_vals, controls["n_mult"], controls["dir_expand"], near, far,
             statics.max_expand,
         )
+        # Pre-drawn noise (bucketed exploration, stage1.py): slice the
+        # width-max noise stream so every bucket width sees identical
+        # per-slot draws — numerics match the static-width step.
+        jn = controls.get("jitter_noise")
         jittered = gap_jitter(
-            jitter_key, z_vals, near, far, controls["dir_jitter"], 0.99
+            jitter_key, z_vals, near, far, controls["dir_jitter"], 0.99,
+            noise=None if jn is None else jn[:, : statics.max_expand],
         )
         idx = jnp.arange(statics.max_expand, dtype=jnp.int32)
         z_vals = jnp.where(idx[None, :] < num_valid, jittered, far)
@@ -648,9 +653,12 @@ def render_rays(params, rays, scene, controls, statics: RenderStatics):
     if comp is None:
         noise = None
         if statics.noise_std > 0.0:
-            noise = statics.noise_std * jax.random.normal(
-                noise_key, z_vals.shape, z_vals.dtype
-            )
+            rn = controls.get("raw_noise")
+            if rn is None:
+                rn = jax.random.normal(noise_key, z_vals.shape, z_vals.dtype)
+            else:  # pre-drawn at max width (bucketed exploration)
+                rn = rn[:, : z_vals.shape[-1]].astype(z_vals.dtype)
+            noise = statics.noise_std * rn
         comp = composite(
             raw,
             z_vals,

@@ -142,7 +142,8 @@ def sample_pdf(key, bins, weights, n_samples: int, det: bool = False):
     return bin_b + t * (bin_a - bin_b)
 
 
-def gap_jitter(key, z_vals, near, far, direction_up, max_noise: float):
+def gap_jitter(key, z_vals, near, far, direction_up, max_noise: float,
+               noise=None):
     """One-sided gap-scaled Gaussian jitter shared by stage-1 exploration
     (max_noise=0.99) and stage-2 training (max_noise=1-2e-6).
 
@@ -150,6 +151,11 @@ def gap_jitter(key, z_vals, near, far, direction_up, max_noise: float):
     (direction_up) or the previous one, scaled by that gap, so ordering is
     preserved. Invalid (parked-at-far) slots see zero up-gap and are restored
     by the caller.
+
+    ``noise`` (optional) supplies the raw N(0,1) draw instead of drawing
+    from ``key`` — the bucketed exploration step (``explore_buckets``)
+    pre-draws at the full ``max_expand`` width and slices per branch so
+    every bucket sees the same per-slot noise stream (stage1.py).
     """
     next_z = jnp.concatenate(
         [z_vals[..., 1:], jnp.full_like(z_vals[..., :1], far)], axis=-1
@@ -157,7 +163,9 @@ def gap_jitter(key, z_vals, near, far, direction_up, max_noise: float):
     prev_z = jnp.concatenate(
         [jnp.full_like(z_vals[..., :1], near), z_vals[..., :-1]], axis=-1
     )
-    mag = jnp.abs(jax.random.normal(key, z_vals.shape, z_vals.dtype)) / 5.0
+    if noise is None:
+        noise = jax.random.normal(key, z_vals.shape, z_vals.dtype)
+    mag = jnp.abs(noise) / 5.0
     mag = jnp.minimum(mag, max_noise)
     up = z_vals + mag * jnp.abs(z_vals - next_z)
     down = z_vals - mag * jnp.abs(z_vals - prev_z)

@@ -14,6 +14,7 @@ so they are genuinely different XLA graphs — one jitted function each.
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Any, Dict
 
@@ -75,17 +76,64 @@ def build_stage1_step_fns(cfg, H: int, W: int, focal: float):
         train_gather=cfg.train_gather,
     )
 
+    # Bucketed exploration (``Config.explore_buckets``): the static-64
+    # masked expansion evaluates the NeRF fwd+bwd on all 64 slots while
+    # only S * n_mult (E ~ 36) carry weight — the measured price is a
+    # stage-1 NeRF step at ~12.5% MFU (925 GFLOP executable,
+    # results/probes_r4_step_timing.txt). Compiling one branch per
+    # power-of-two width and selecting with ``lax.switch`` on the traced
+    # n_mult keeps the no-retrace property (ONE executable, all branches
+    # inside) while the device only runs the width that covers S * n_mult.
+    # Noise parity: jitter + raw noise are pre-drawn at the full width and
+    # sliced per branch, so every bucket sees the same per-slot stream and
+    # the widest bucket is bit-identical to the static-width step (tested).
+    widths = None
+    if getattr(cfg, "explore_buckets", False):
+        me = statics_nerf.max_expand
+        widths, w = [], cfg.N_samples
+        while w < me:
+            widths.append(w)
+            w *= 2
+        widths.append(me)
+
     def nerf_step(state, scene, batch_rays, pose_ids, controls, lr):
         rays = rays_from_pool(batch_rays[:, :2], pose_ids, H, W, focal)
         target = batch_rays[:, 2]
         params = state["params"]
 
-        def loss_fn(nerf_params):
-            p = dict(params, nerf=nerf_params)
-            out = render_rays(p, rays, scene, controls, statics_nerf)
-            return img2mse(out["rgb1"], target)
+        def grads_at(statics_w, ctl):
+            def loss_fn(nerf_params):
+                p = dict(params, nerf=nerf_params)
+                out = render_rays(p, rays, scene, ctl, statics_w)
+                return img2mse(out["rgb1"], target)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params["nerf"])
+            return jax.value_and_grad(loss_fn)(params["nerf"])
+
+        if widths is None:
+            loss, grads = grads_at(statics_nerf, controls)
+        else:
+            nk, jk = jax.random.split(controls["rng"])
+            me = statics_nerf.max_expand
+            n = target.shape[0]
+            ctl = dict(
+                controls,
+                raw_noise=jax.random.normal(nk, (n, me), jnp.float32),
+                jitter_noise=jax.random.normal(jk, (n, me), jnp.float32),
+            )
+            # smallest width covering S * n_mult
+            mult_caps = jnp.asarray(
+                [w // cfg.N_samples for w in widths[:-1]], jnp.int32
+            )
+            idx = jnp.sum(mult_caps < controls["n_mult"])
+            branches = [
+                partial(
+                    grads_at,
+                    dataclasses.replace(statics_nerf, max_expand=w),
+                    ctl,
+                )
+                for w in widths
+            ]
+            loss, grads = jax.lax.switch(idx, branches)
         updates, opt_nerf = tx.update(grads, state["opt_nerf"], params["nerf"])
         new_nerf = apply_updates(params["nerf"], updates, lr)
         new_state = dict(

@@ -120,6 +120,38 @@ def run_bench(H=378, W=504, frames_per_loop=6, reps=4, statics_overrides=None,
     return ms, H * W / ms * 1e3, null
 
 
+def _codesign_quality_delta(path=None):
+    """Measured quality cost of the fast V=2 point, from the committed
+    matched-schedule training A/B (results/probes_r4_codesign.txt: control
+    S8V4 vs candidate S8V2, identical schedule/scene/seed through the
+    released CLI). Returns {} if the probe artifact is absent."""
+    import os
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "results", "probes_r4_codesign.txt")
+    rows = {}
+    try:
+        with open(path) as f:
+            for line in f:
+                try:
+                    r = json.loads(line)
+                except ValueError:
+                    continue
+                if r.get("phase") == "quality" and r.get("psnr_rgb1"):
+                    rows[(r["S"], r["V"])] = r
+    except OSError:
+        return {}
+    ctrl, cand = rows.get((8, 4)), rows.get((8, 2))
+    if not (ctrl and cand):
+        return {}
+    return {
+        "fast_v2_psnr_delta_db": round(
+            cand["psnr_rgb1"] - ctrl["psnr_rgb1"], 2),
+        "fast_v2_quality_protocol": "matched %s-step schedule A/B, "
+        "synthetic fern-scale scene" % ctrl.get("schedule", "?"),
+    }
+
+
 def main():
     H, W = 378, 504
     ms, rays_per_s, null = run_bench(H, W)
@@ -136,6 +168,25 @@ def main():
         }
     except Exception as exc:  # full-res must never kill the headline bench
         full_res = {"full_res_error": str(exc)[:160]}
+
+    # Third operating point: the co-designed fast point (num_neighbor=2;
+    # NeRF and sampler untouched). The reference's TRT engines hard-code
+    # V=4 in their input bindings (trt_infer_v2.py:180,262,344) — the
+    # operating point is a config flag here, so the reduced-V model can be
+    # trained and its quality cost measured rather than guessed. The
+    # matched-schedule quality A/B lives in results/probes_r4_codesign.txt;
+    # its measured PSNR delta is attached below when present.
+    fast = {}
+    try:
+        vms, vrps, _ = run_bench(756, 1008, frames_per_loop=4, reps=3,
+                                 num_neighbor=2)
+        fast = {
+            "fast_v2_1008x756_ms": round(vms, 2),
+            "fast_v2_mrays_per_sec": round(vrps / 1e6, 2),
+            **_codesign_quality_delta(),
+        }
+    except Exception as exc:
+        fast = {"fast_v2_error": str(exc)[:160]}
 
     import jax
 
@@ -168,6 +219,7 @@ def main():
             **({"model_flop_util": round(
                 achieved_tflops / peak, 4)} if peak else {}),
             **full_res,
+            **fast,
         },
     }
     print(json.dumps(result))

@@ -44,3 +44,28 @@ def test_pipeline_macs_matches_param_scale():
     assert 3.9e5 < per_ray_sampler < 4.3e5  # ~410k params
     per_ray_refine = macs["refine"] / rays
     assert 3.5e5 < per_ray_refine < 3.9e5  # ~375k params
+
+
+def test_bench_codesign_quality_parser(tmp_path):
+    """bench.py attaches the fast-point PSNR delta only when BOTH the
+    control (8,4) and candidate (8,2) quality rows exist in the probe
+    artifact, and ignores malformed/latency lines."""
+    import bench
+
+    p = tmp_path / "probe.txt"
+    p.write_text(
+        '{"phase": "latency", "S": 8, "V": 2, "ms": 98.7}\n'
+        "not json\n"
+        '{"phase": "quality", "S": 8, "V": 4, "schedule": "30000+15000",'
+        ' "psnr_rgb1": 30.10}\n'
+    )
+    assert bench._codesign_quality_delta(str(p)) == {}  # no candidate yet
+
+    with open(p, "a") as f:
+        f.write('{"phase": "quality", "S": 8, "V": 2, "schedule":'
+                ' "30000+15000", "psnr_rgb1": 29.62}\n')
+    out = bench._codesign_quality_delta(str(p))
+    assert out["fast_v2_psnr_delta_db"] == -0.48
+    assert "30000+15000" in out["fast_v2_quality_protocol"]
+
+    assert bench._codesign_quality_delta(str(tmp_path / "absent.txt")) == {}

@@ -109,6 +109,14 @@ def phase_quality(args):
     base = REPO / "logs_codesign"
     base.mkdir(exist_ok=True)
     py = [sys.executable, "-m", "pronerf_tpu.cli"]
+    # Non-default schedules get suffixed stage-2/eval expdirs + logs so the
+    # idempotent .ok skip never collides with a completed default-schedule
+    # leg. Stage-1 DELIBERATELY shares its expdir across schedules: the
+    # trainer auto-resumes from the newest checkpoint, so extending a
+    # variant 30k -> 60k pays only the marginal steps — and both arms of
+    # the A/B extend identically, keeping the comparison matched.
+    default_sched = (args.s1, args.s2) == (30000, 15000)
+    sfx = "" if default_sched else f"_{args.s1}p{args.s2}"
     for S, V in _parse_variants(args.variants):
         tag = f"s{S}v{V}"
         flags = ["--N_samples", str(S), "--num_neighbor", str(V)]
@@ -121,26 +129,26 @@ def phase_quality(args):
                   "--i_print", "5000", "--i_weights", str(args.s1),
                   "--i_testset", "0", "--i_video", "0", "--i_img", "0"]
             + flags,
-            base / f"{tag}_s1.log",
+            base / f"{tag}_s1{sfx}.log",
         )
         _, t2 = _run_cli(
             py + ["train-stage2", "--max-steps", str(args.s2),
                   "--config", "configs/llff/fern/fern_refine.txt",
                   "--pretrain-path", str(base / s1dir), "--",
                   "--datadir", spec, "--basedir", str(base),
-                  "--expname", f"{tag}_s2", "--scan_steps", "50",
+                  "--expname", f"{tag}_s2{sfx}", "--scan_steps", "50",
                   "--i_print", "5000", "--i_weights", str(args.s2),
                   "--i_testset", "0", "--i_video", "0", "--i_img", "0"]
             + flags,
-            base / f"{tag}_s2.log",
+            base / f"{tag}_s2{sfx}.log",
         )
-        ckpt = sorted((base / f"{tag}_s2").glob("*.ckpt"))[-1]
+        ckpt = sorted((base / f"{tag}_s2{sfx}").glob("*.ckpt"))[-1]
         text, t3 = _run_cli(
             py + ["eval", "--use-trt", "--timing-reps", "20",
                   "--checkpoint", str(ckpt), "--",
                   "--datadir", spec, "--basedir", str(base),
-                  "--expname", f"{tag}_s2"] + flags,
-            base / f"{tag}_eval.log",
+                  "--expname", f"{tag}_s2{sfx}"] + flags,
+            base / f"{tag}_eval{sfx}.log",
         )
         # First "Mean Test PSNR" line is rgb1 (NeRF output), second rgb0.
         psnr = _grep_float(text, r"Mean Test PSNR ([0-9.]+)")

@@ -27,8 +27,11 @@ sys.path.insert(0, str(REPO))
 
 OUT = REPO / "results/probes_r4_v2_window.txt"
 
-# (tiles, window_rows); None = the auto-resolved default (re-anchor).
-GRID = [None, (6, 220), (12, 160), (16, 198)]
+# (tiles, window_rows); None = the auto-resolved default (re-anchor);
+# a dict = raw statics overrides (e.g. the kernel ray-block size, whose
+# V=4 full-res answer — 8192 measured worse — may not transfer to V=2).
+GRID = [None, (6, 220), (12, 160), (16, 198),
+        {"pallas_block_rays": 8192}]
 
 
 def main():
@@ -37,7 +40,10 @@ def main():
     for point in GRID:
         overrides = None
         name = "auto"
-        if point is not None:
+        if isinstance(point, dict):
+            overrides = point
+            name = "_".join(f"{k}{v}" for k, v in point.items())
+        elif point is not None:
             overrides = {"gather_tiles": point[0],
                          "gather_window_rows": point[1]}
             name = f"tiles{point[0]}_wr{point[1]}"

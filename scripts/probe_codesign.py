@@ -112,9 +112,12 @@ def phase_quality(args):
     # Non-default schedules get suffixed stage-2/eval expdirs + logs so the
     # idempotent .ok skip never collides with a completed default-schedule
     # leg. Stage-1 DELIBERATELY shares its expdir across schedules: the
-    # trainer auto-resumes from the newest checkpoint, so extending a
-    # variant 30k -> 60k pays only the marginal steps — and both arms of
-    # the A/B extend identically, keeping the comparison matched.
+    # trainer auto-resumes from the newest checkpoint. NOTE the trainer's
+    # --max-steps is MARGINAL after a resume (loop.py: n_iters = start +
+    # max_steps + 1), so --s1 60000 on top of a completed 30k leg trains to
+    # step 90000 and stage-2 bootstraps from that final checkpoint — the
+    # emitted "schedule" field reflects the flags, not the absolute step;
+    # both arms extend identically so the comparison stays matched.
     default_sched = (args.s1, args.s2) == (30000, 15000)
     sfx = "" if default_sched else f"_{args.s1}p{args.s2}"
     for S, V in _parse_variants(args.variants):

@@ -120,11 +120,28 @@ def run_bench(H=378, W=504, frames_per_loop=6, reps=4, statics_overrides=None,
     return ms, H * W / ms * 1e3, null
 
 
+def _schedule_steps(sched):
+    """Total nominal steps of a probe 'schedule' string like '60000+30000'."""
+    try:
+        return sum(int(x) for x in str(sched).split("+"))
+    except ValueError:
+        return -1
+
+
 def _codesign_quality_delta(path=None):
     """Measured quality cost of the fast V=2 point, from the committed
     matched-schedule training A/B (results/probes_r4_codesign.txt: control
     S8V4 vs candidate S8V2, identical schedule/scene/seed through the
-    released CLI). Returns {} if the probe artifact is absent."""
+    released CLI).
+
+    Rows are paired by (S, V, schedule) — a control and a candidate are
+    only ever compared at the SAME schedule (round-4 regression: keying by
+    (S, V) alone let a later 30k candidate row overwrite the 60k one and
+    published a cross-schedule delta). The reported delta is the longest
+    matched schedule present; the full per-schedule trend is attached so
+    the trajectory (converging/widening) rides with the headline number.
+    Returns {} if the probe artifact is absent or no schedule has both
+    arms."""
     import os
     if path is None:
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -138,17 +155,32 @@ def _codesign_quality_delta(path=None):
                 except ValueError:
                     continue
                 if r.get("phase") == "quality" and r.get("psnr_rgb1"):
-                    rows[(r["S"], r["V"])] = r
+                    rows[(r["S"], r["V"], str(r.get("schedule")))] = r
     except OSError:
         return {}
-    ctrl, cand = rows.get((8, 4)), rows.get((8, 2))
-    if not (ctrl and cand):
+    matched = []  # (total_steps, schedule, delta_db)
+    for (s, v, sched), cand in rows.items():
+        if (s, v) != (8, 2):
+            continue
+        ctrl = rows.get((8, 4, sched))
+        if not ctrl:
+            continue
+        matched.append((
+            _schedule_steps(sched), sched,
+            round(cand["psnr_rgb1"] - ctrl["psnr_rgb1"], 2),
+        ))
+    if not matched:
         return {}
+    matched.sort()
+    _, sched, delta = matched[-1]
     return {
-        "fast_v2_psnr_delta_db": round(
-            cand["psnr_rgb1"] - ctrl["psnr_rgb1"], 2),
+        "fast_v2_psnr_delta_db": delta,
         "fast_v2_quality_protocol": "matched %s-step schedule A/B, "
-        "synthetic fern-scale scene" % ctrl.get("schedule", "?"),
+        "synthetic fern-scale scene (schedule-matched pairing; flags are "
+        "marginal on resume — see results/probes_r4_codesign.txt + "
+        "DESIGN.md trend table for absolute steps)" % sched,
+        "fast_v2_delta_trend_db": {
+            s: d for _, s, d in matched},
     }
 
 

@@ -69,3 +69,37 @@ def test_bench_codesign_quality_parser(tmp_path):
     assert "30000+15000" in out["fast_v2_quality_protocol"]
 
     assert bench._codesign_quality_delta(str(tmp_path / "absent.txt")) == {}
+
+
+def test_bench_codesign_delta_is_schedule_matched(tmp_path):
+    """Round-4 regression: a mixed-schedule probe file must never produce
+    a cross-schedule delta. Rows pair by (S, V, schedule); the reported
+    delta is the LONGEST schedule with both arms, and the per-schedule
+    trend is attached."""
+    import bench
+
+    p = tmp_path / "probe.txt"
+    # 60k control present but its candidate MISSING; 30k pair complete.
+    # The r4 bug paired 60k-control with 30k-candidate (-1.75-style ghost).
+    p.write_text(
+        '{"phase": "quality", "S": 8, "V": 4, "schedule": "30000+15000",'
+        ' "psnr_rgb1": 35.91}\n'
+        '{"phase": "quality", "S": 8, "V": 2, "schedule": "30000+15000",'
+        ' "psnr_rgb1": 34.66}\n'
+        '{"phase": "quality", "S": 8, "V": 4, "schedule": "60000+30000",'
+        ' "psnr_rgb1": 36.41}\n'
+    )
+    out = bench._codesign_quality_delta(str(p))
+    assert out["fast_v2_psnr_delta_db"] == -1.25  # the matched 30k pair
+    assert "30000+15000" in out["fast_v2_quality_protocol"]
+
+    # Candidate's 60k row arrives: the longer matched schedule wins and
+    # the trend carries both points.
+    with open(p, "a") as f:
+        f.write('{"phase": "quality", "S": 8, "V": 2, "schedule":'
+                ' "60000+30000", "psnr_rgb1": 34.39}\n')
+    out = bench._codesign_quality_delta(str(p))
+    assert out["fast_v2_psnr_delta_db"] == -2.02
+    assert "60000+30000" in out["fast_v2_quality_protocol"]
+    assert out["fast_v2_delta_trend_db"] == {
+        "30000+15000": -1.25, "60000+30000": -2.02}

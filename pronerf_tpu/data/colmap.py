@@ -1,11 +1,13 @@
-"""COLMAP sparse-model binary readers + greedy reference-view selection.
+"""COLMAP sparse-model readers (binary + text) + greedy reference-view
+selection.
 
-The binary layouts follow the public COLMAP format specification
-(cameras.bin / images.bin / points3D.bin). Functional parity target:
-``colmap_utils.py:108-257`` and the greedy visibility cover at
-``load_llff.py:499-547`` — including FIXING the reference's latent bug where
-``num_neighbor`` defaults to None and crashes the release infer path
-(SURVEY.md §2.4).
+The layouts follow the public COLMAP format specification (cameras /
+images / points3D in both ``.bin`` and ``.txt`` encodings). Functional
+parity target: ``colmap_utils.py:82-269`` (text readers at ``:82-105``,
+``:142-165``, ``:203-228``; ``read_model`` dispatch at ``:262-269``) and
+the greedy visibility cover at ``load_llff.py:499-547`` — including FIXING
+the reference's latent bug where ``num_neighbor`` defaults to None and
+crashes the release infer path (SURVEY.md §2.4).
 """
 
 from __future__ import annotations
@@ -122,6 +124,109 @@ def read_points3d_binary(path) -> Dict[int, Point3D]:
     return points
 
 
+def _model_lines(path):
+    """Whitespace-token lists for non-empty, non-comment lines of a COLMAP
+    text model file."""
+    with open(path, "r") as fh:
+        for raw in fh:
+            line = raw.strip()
+            if line and not line.startswith("#"):
+                yield line.split()
+
+
+def read_cameras_text(path) -> Dict[int, Camera]:
+    """cameras.txt: CAMERA_ID MODEL WIDTH HEIGHT PARAMS[] per line."""
+    cameras = {}
+    for t in _model_lines(path):
+        cam_id = int(t[0])
+        cameras[cam_id] = Camera(
+            cam_id, t[1], int(t[2]), int(t[3]),
+            np.array(t[4:], dtype=np.float64),
+        )
+    return cameras
+
+
+def read_images_text(path) -> Dict[int, Image]:
+    """images.txt: two lines per image — the header line
+    (IMAGE_ID QW QX QY QZ TX TY TZ CAMERA_ID NAME) then the POINTS2D line
+    (X Y POINT3D_ID triples; may be empty for images with no keypoints,
+    so the second line is consumed raw rather than comment-filtered)."""
+    images = {}
+    with open(path, "r") as fh:
+        while True:
+            raw = fh.readline()
+            if not raw:
+                break
+            line = raw.strip()
+            if not line or line.startswith("#"):
+                continue
+            t = line.split()
+            pts = fh.readline().split()
+            data = (
+                np.array(pts, dtype=np.float64).reshape(-1, 3)
+                if pts else np.zeros((0, 3))
+            )
+            im_id = int(t[0])
+            images[im_id] = Image(
+                im_id,
+                np.array(t[1:5], dtype=np.float64),
+                np.array(t[5:8], dtype=np.float64),
+                int(t[8]), t[9],
+                data[:, :2], data[:, 2].astype(np.int64),
+            )
+    return images
+
+
+def read_points3d_text(path) -> Dict[int, Point3D]:
+    """points3D.txt: POINT3D_ID X Y Z R G B ERROR (IMAGE_ID POINT2D_IDX)*
+    per line."""
+    points = {}
+    for t in _model_lines(path):
+        pt_id = int(t[0])
+        track = np.array(t[8:], dtype=np.int64).reshape(-1, 2)
+        points[pt_id] = Point3D(
+            pt_id,
+            np.array(t[1:4], dtype=np.float64),
+            np.array(t[4:7], dtype=np.int64),
+            float(t[7]),
+            track[:, 0], track[:, 1],
+        )
+    return points
+
+
+def model_ext(sparse_dir) -> str:
+    """Detect the model encoding present in ``sparse_dir`` (prefer .bin,
+    matching COLMAP's own auto-detection order)."""
+    sparse_dir = Path(sparse_dir)
+    for ext in (".bin", ".txt"):
+        if (sparse_dir / f"images{ext}").exists():
+            return ext
+    raise FileNotFoundError(
+        f"no COLMAP model (images.bin/images.txt) under {sparse_dir}"
+    )
+
+
+def read_model(sparse_dir, ext: str | None = None):
+    """Read (cameras, images, points3D) with extension dispatch.
+
+    Parity: ``colmap_utils.py:262-269`` (which requires the caller to pass
+    ``ext``); here ``ext=None`` auto-detects from the files present."""
+    sparse_dir = Path(sparse_dir)
+    if ext is None:
+        ext = model_ext(sparse_dir)
+    if ext == ".txt":
+        return (
+            read_cameras_text(sparse_dir / "cameras.txt"),
+            read_images_text(sparse_dir / "images.txt"),
+            read_points3d_text(sparse_dir / "points3D.txt"),
+        )
+    return (
+        read_cameras_binary(sparse_dir / "cameras.bin"),
+        read_images_binary(sparse_dir / "images.bin"),
+        read_points3d_binary(sparse_dir / "points3D.bin"),
+    )
+
+
 def qvec2rotmat(q: np.ndarray) -> np.ndarray:
     """COLMAP (w, x, y, z) quaternion to rotation matrix."""
     w, x, y, z = q
@@ -141,26 +246,31 @@ def build_visibility_matrix(sparse_dir, i_train) -> np.ndarray:
     images sorted by name), mirroring the reference's index mapping.
     """
     sparse_dir = Path(sparse_dir)
-    imdata = read_images_binary(sparse_dir / "images.bin")
+    ext = model_ext(sparse_dir)
+    read_images = read_images_binary if ext == ".bin" else read_images_text
+    imdata = read_images(sparse_dir / f"images{ext}")
     ordered = sorted(imdata.values(), key=lambda im: im.name)
     image_id_to_dataset_idx = {im.id: i for i, im in enumerate(ordered)}
     i_train = list(i_train)
     train_rank = {idx: r for r, idx in enumerate(i_train)}
 
-    # Fast path: single-pass C++ track scan (native/pronerf_native.cpp).
-    from pronerf_tpu.native import colmap_visibility_native
+    if ext == ".bin":
+        # Fast path: single-pass C++ track scan (native/pronerf_native.cpp;
+        # binary models only — text models are small enough to parse here).
+        from pronerf_tpu.native import colmap_visibility_native
 
-    max_id = max(image_id_to_dataset_idx) if image_id_to_dataset_idx else 0
-    rank_map = np.full((max_id + 1,), -1, np.int32)
-    for im_id, ds_idx in image_id_to_dataset_idx.items():
-        rank_map[im_id] = train_rank.get(ds_idx, -1)
-    vis = colmap_visibility_native(
-        sparse_dir / "points3D.bin", rank_map, len(i_train)
-    )
-    if vis is not None:
-        return vis
+        max_id = max(image_id_to_dataset_idx) if image_id_to_dataset_idx else 0
+        rank_map = np.full((max_id + 1,), -1, np.int32)
+        for im_id, ds_idx in image_id_to_dataset_idx.items():
+            rank_map[im_id] = train_rank.get(ds_idx, -1)
+        vis = colmap_visibility_native(
+            sparse_dir / "points3D.bin", rank_map, len(i_train)
+        )
+        if vis is not None:
+            return vis
 
-    pts3d = read_points3d_binary(sparse_dir / "points3D.bin")
+    read_points = read_points3d_binary if ext == ".bin" else read_points3d_text
+    pts3d = read_points(sparse_dir / f"points3D{ext}")
     vis = np.zeros((len(i_train), len(pts3d)), dtype=np.float32)
     for col, pt in enumerate(pts3d.values()):
         for im_id in pt.image_ids:

@@ -163,33 +163,66 @@ def _rotmat_to_qvec(R):
     return q
 
 
-def write_colmap_model(root, n_images: int = 6, n_points: int = 40):
-    """Write minimal images.bin / points3D.bin (inverse of our readers)."""
+def write_colmap_model(root, n_images: int = 6, n_points: int = 40,
+                       ext: str = ".bin"):
+    """Write a minimal COLMAP sparse model (inverse of our readers) in
+    either encoding: images/points3D ``.bin``, or the full ``.txt`` triple
+    (with comment headers and a keypoint-less image, to exercise the text
+    parser's skip/empty-line paths)."""
     sparse = root / "sparse/0"
-    sparse.mkdir(parents=True)
+    sparse.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(1)
-    with open(sparse / "images.bin", "wb") as fh:
-        fh.write(struct.pack("<Q", n_images))
-        for i in range(n_images):
-            fh.write(struct.pack("<i", i + 1))
-            fh.write(struct.pack("<4d", 1, 0, 0, 0))
-            fh.write(struct.pack("<3d", 0, 0, 0))
-            fh.write(struct.pack("<i", 1))
-            fh.write(f"img_{i:03d}.png".encode() + b"\x00")
-            fh.write(struct.pack("<Q", 0))
+    pts = rng.normal(size=(n_points, 3))
     # view v sees points [0 .. 5*(v+1)) -> later views see more
     tracks = {p: [] for p in range(n_points)}
     for v in range(n_images):
         for p in range(min(5 * (v + 1), n_points)):
             tracks[p].append(v + 1)
-    with open(sparse / "points3D.bin", "wb") as fh:
-        fh.write(struct.pack("<Q", n_points))
+
+    if ext == ".bin":
+        with open(sparse / "images.bin", "wb") as fh:
+            fh.write(struct.pack("<Q", n_images))
+            for i in range(n_images):
+                fh.write(struct.pack("<i", i + 1))
+                fh.write(struct.pack("<4d", 1, 0, 0, 0))
+                fh.write(struct.pack("<3d", 0, 0, 0))
+                fh.write(struct.pack("<i", 1))
+                fh.write(f"img_{i:03d}.png".encode() + b"\x00")
+                fh.write(struct.pack("<Q", 0))
+        with open(sparse / "points3D.bin", "wb") as fh:
+            fh.write(struct.pack("<Q", n_points))
+            for p in range(n_points):
+                fh.write(struct.pack("<Q", p + 1))
+                fh.write(struct.pack("<3d", *pts[p]))
+                fh.write(struct.pack("<3B", 128, 128, 128))
+                fh.write(struct.pack("<d", 0.5))
+                ims = tracks[p]
+                fh.write(struct.pack("<Q", len(ims)))
+                for im in ims:
+                    fh.write(struct.pack("<2i", im, 0))
+        return root
+
+    with open(sparse / "cameras.txt", "w") as fh:
+        fh.write("# Camera list with one line of data per camera:\n")
+        fh.write("#   CAMERA_ID, MODEL, WIDTH, HEIGHT, PARAMS[]\n")
+        fh.write("1 PINHOLE 32 24 30.0 30.0 16.0 12.0\n")
+    with open(sparse / "images.txt", "w") as fh:
+        fh.write("# Image list with two lines of data per image:\n")
+        fh.write("#   IMAGE_ID, QW, QX, QY, QZ, TX, TY, TZ, CAMERA_ID, "
+                 "NAME\n#   POINTS2D[] as (X, Y, POINT3D_ID)\n")
+        for i in range(n_images):
+            fh.write(f"{i + 1} 1 0 0 0 0 0 0 1 img_{i:03d}.png\n")
+            # image 1 keeps an empty keypoint line; others get one dummy
+            if i == 0:
+                fh.write("\n")
+            else:
+                fh.write(f"1.5 2.5 {min(i, n_points)}\n")
+    with open(sparse / "points3D.txt", "w") as fh:
+        fh.write("# 3D point list with one line of data per point:\n")
+        fh.write("#   POINT3D_ID, X, Y, Z, R, G, B, ERROR, "
+                 "TRACK[] as (IMAGE_ID, POINT2D_IDX)\n")
         for p in range(n_points):
-            fh.write(struct.pack("<Q", p + 1))
-            fh.write(struct.pack("<3d", *rng.normal(size=3)))
-            fh.write(struct.pack("<3B", 128, 128, 128))
-            fh.write(struct.pack("<d", 0.5))
-            ims = tracks[p]
-            fh.write(struct.pack("<Q", len(ims)))
-            for im in ims:
-                fh.write(struct.pack("<2i", im, 0))
+            track = " ".join(f"{im} 0" for im in tracks[p])
+            xyz = " ".join(repr(float(c)) for c in pts[p])
+            fh.write(f"{p + 1} {xyz} 128 128 128 0.5 {track}\n")
+    return root

@@ -68,6 +68,64 @@ def test_colmap_readers_roundtrip(tmp_path):
     assert len(pts[1].image_ids) == 6  # point 0 seen by every view
 
 
+def test_colmap_text_readers_match_binary(tmp_path):
+    """Text and binary encodings of the same model parse identically
+    (images: id/qvec/tvec/camera/name; points3D: xyz/rgb/error/tracks).
+    Parity surface: colmap_utils.py:82-269 read_model dispatch."""
+    from pronerf_tpu.data.colmap import (
+        read_cameras_text,
+        read_images_text,
+        read_model,
+        read_points3d_text,
+    )
+
+    bin_root = tmp_path / "bin"
+    txt_root = tmp_path / "txt"
+    _write_colmap_model(bin_root, ext=".bin")
+    _write_colmap_model(txt_root, ext=".txt")
+
+    ims_b = read_images_binary(bin_root / "sparse/0/images.bin")
+    ims_t = read_images_text(txt_root / "sparse/0/images.txt")
+    assert sorted(ims_b) == sorted(ims_t)
+    for k in ims_b:
+        assert ims_b[k].name == ims_t[k].name
+        assert ims_b[k].camera_id == ims_t[k].camera_id
+        np.testing.assert_allclose(ims_b[k].qvec, ims_t[k].qvec)
+        np.testing.assert_allclose(ims_b[k].tvec, ims_t[k].tvec)
+    # the text fixture carries keypoints the binary one omits: empty line
+    # for image 1, one (x, y, point3d_id) triple for the rest
+    assert ims_t[1].point3d_ids.shape == (0,)
+    assert ims_t[2].xys.shape == (1, 2) and ims_t[2].point3d_ids[0] == 1
+
+    pts_b = read_points3d_binary(bin_root / "sparse/0/points3D.bin")
+    pts_t = read_points3d_text(txt_root / "sparse/0/points3D.txt")
+    assert sorted(pts_b) == sorted(pts_t)
+    for k in pts_b:
+        np.testing.assert_allclose(pts_b[k].xyz, pts_t[k].xyz)
+        np.testing.assert_array_equal(pts_b[k].rgb, pts_t[k].rgb)
+        assert pts_b[k].error == pts_t[k].error
+        np.testing.assert_array_equal(pts_b[k].image_ids, pts_t[k].image_ids)
+        np.testing.assert_array_equal(
+            pts_b[k].point2d_idxs, pts_t[k].point2d_idxs)
+
+    cams = read_cameras_text(txt_root / "sparse/0/cameras.txt")
+    assert cams[1].model == "PINHOLE" and cams[1].width == 32
+    np.testing.assert_allclose(cams[1].params, [30.0, 30.0, 16.0, 12.0])
+
+    # read_model auto-detects the encoding from the files present
+    _, ims_auto, pts_auto = read_model(txt_root / "sparse/0")
+    assert sorted(ims_auto) == sorted(ims_t) and len(pts_auto) == len(pts_t)
+
+
+def test_greedy_reference_views_text_model(tmp_path):
+    """The release infer path's greedy cover works on a text-only model
+    (the reference reads both encodings, colmap_utils.py:262-269)."""
+    _write_colmap_model(tmp_path, ext=".txt")
+    i_train = [0, 1, 2, 3, 4]
+    refs = greedy_reference_views(tmp_path / "sparse/0", i_train, 2)
+    assert refs[0] == 4 and len(refs) == 2 and refs[1] != refs[0]
+
+
 def test_greedy_reference_views(tmp_path):
     _write_colmap_model(tmp_path)
     i_train = [0, 1, 2, 3, 4]  # view 5 held out

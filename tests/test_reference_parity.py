@@ -444,6 +444,178 @@ def test_stage2_render_rays_matches_reference(ref):
     )
 
 
+def test_stage2_loss_topology_matches_reference(ref):
+    """Attribution for the rehearsal's rgb0 collapse (rehearsal_fern.json:
+    eval_psnr_rgb0 8.82 vs rgb1 29.37): with the release config's
+    a_mmrgb = 0 (configs/llff/fern/fern_refine.txt:20), the stage-2 loss
+    is mse(rgb1) only (run_S_eS_eN_alter_base_refine2.py:859-866), so the
+    refine net's RGB head and the sampler's mm_rgb head receive EXACTLY
+    ZERO gradient while their shared trunks keep moving under the
+    depth/offset gradients — rgb0 drifts unsupervised by construction.
+
+    Verified in BOTH frameworks on identical weights/inputs: the zero
+    columns/rows of the output-layer gradient match, and with
+    a_mmrgb = 1e-3 the full stage-2 gradients match numerically."""
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from pronerf_tpu.models import (
+        RenderStatics,
+        init_pronerf_params,
+        render_rays,
+    )
+    from pronerf_tpu.render.raygen import prepare_scene, rays_for_pose
+    from pronerf_tpu.utils.synthetic import make_consistent_scene
+
+    s2 = importlib.import_module("run_S_eS_eN_alter_base_refine2")
+    sc = make_consistent_scene(n_views=5, H=20, W=26, seed=9)
+    H, W, _ = sc["hwf"]
+    K = sc["K"]
+    V, n, S = 2, 32, 8
+
+    params = init_pronerf_params(jax.random.PRNGKey(6), num_neighbor=V)
+    # At fresh-init scale the composite can be DEAD (alpha needs sigma +
+    # mm_add > 0 AND mm_mul > 0 at the same slot; relu kills both factors
+    # for this seed), which would make every gradient assertion vacuous.
+    # Boost the density-head biases so compositing is alive, THEN mirror
+    # the weights into torch.
+    params["sampler"]["out"]["b"] = (
+        params["sampler"]["out"]["b"].at[S: 3 * S].add(0.5)
+    )
+    params["nerf"]["alpha"]["b"] = params["nerf"]["alpha"]["b"] + 0.5
+    nerf_t = _load_nerf_into_torch(ref, params["nerf"]).train()
+    sampler_t = _load_minmax_into_torch(ref, params["sampler"], 288, 27).train()
+    refine_t = _load_minmax_into_torch(
+        ref, params["refine"], 6 * 8 + 3 * V * 8, 35
+    ).train()
+
+    scene = prepare_scene(
+        sc["images"][:4], sc["poses"][:4], K, pack_corners=False
+    )
+    rays = rays_for_pose(H, W, K, sc["poses"][4])
+    rays = {k: v[:n] for k, v in rays.items()}
+    target = jnp.asarray(sc["images"][4].reshape(-1, 3)[:n])
+    controls = {
+        "rng": jax.random.PRNGKey(0),
+        "target_t": jnp.asarray(sc["poses"][4][:3, 3]),
+    }
+    statics = RenderStatics.stage2(randomize=False, num_neighbor=V)
+
+    def loss_fn(p, a_mmrgb):
+        out = render_rays(p, rays, scene, controls, statics)
+        img = jnp.mean((out["rgb1"] - target) ** 2)
+        aux = (
+            jnp.mean((out["rgb0"] - target) ** 2)
+            + jnp.mean((out["mm_rgb"] - target) ** 2)
+        )
+        return img + a_mmrgb * aux
+
+    g0 = jax.grad(loss_fn)(params, 0.0)
+    # Liveness guard: the boosted graph must actually composite something,
+    # or the zero-pattern assertions below prove nothing.
+    assert np.abs(np.asarray(g0["nerf"]["rgb"]["w"])).max() > 1e-6
+    # a_mmrgb = 0: the rgb heads (refine out cols 4S:, sampler out cols
+    # 3S:) get EXACTLY zero grad; the depth/offset/mm-term heads do not.
+    r_out = np.asarray(g0["refine"]["out"]["w"])  # [in, 35]
+    s_out = np.asarray(g0["sampler"]["out"]["w"])  # [in, 27]
+    assert np.all(r_out[:, 4 * S:] == 0.0) and np.all(
+        np.asarray(g0["refine"]["out"]["b"])[4 * S:] == 0.0)
+    assert np.all(s_out[:, 3 * S:] == 0.0) and np.all(
+        np.asarray(g0["sampler"]["out"]["b"])[3 * S:] == 0.0)
+    assert np.abs(r_out[:, : 4 * S]).max() > 0
+    assert np.abs(s_out[:, : 3 * S]).max() > 0
+    # ...while the shared trunk DOES move (the drift mechanism):
+    assert np.abs(np.asarray(g0["refine"]["layers"][0]["w"])).max() > 0
+
+    g1 = jax.grad(loss_fn)(params, 1e-3)
+    assert np.abs(np.asarray(g1["refine"]["out"]["w"])[:, 4 * S:]).max() > 0
+    assert np.abs(np.asarray(g1["sampler"]["out"]["w"])[:, 3 * S:]).max() > 0
+
+    # Torch oracle: same loss on the actual reference stage-2 render_rays.
+    embed_fn, _ = ref.helpers.get_embedder(10, 0)
+    embeddirs_fn, _ = ref.helpers.get_embedder(4, 0)
+
+    def network_query_fn(inputs, viewdirs, fn):
+        return s2.run_network(
+            inputs, viewdirs, fn, embed_fn, embeddirs_fn, netchunk=65536
+        )
+
+    ray_batch = torch.cat(
+        [
+            _t(rays["ndc_o"]), _t(rays["ndc_d"]),
+            torch.full((n, 1), 0.0), torch.full((n, 1), 1.0),
+            _t(rays["viewdirs"]),
+        ],
+        -1,
+    )
+    or_ray_batch = torch.cat(
+        [
+            _t(rays["or_o"]), _t(rays["or_d"]),
+            torch.full((n, 1), 1.0), torch.full((n, 1), 10.0),
+            _t(rays["viewdirs"]),
+        ],
+        -1,
+    )
+    tgt = _t(np.asarray(target))
+
+    def torch_backward(a_mmrgb):
+        for m in (nerf_t, sampler_t, refine_t):
+            m.zero_grad()
+        out_t = s2.render_rays(
+            ray_batch, or_ray_batch,
+            network_fn=nerf_t,
+            network_query_fn=network_query_fn,
+            N_samples=S,
+            network_fine=nerf_t,
+            raw_noise_std=0.0,
+            min_max_ray_net=sampler_t,
+            refine_net=refine_t,
+            N_point_ray_enc=48,
+            embed_fn=embed_fn,
+            embeddirs_fn=embeddirs_fn,
+            randomize=False,
+            train_nerf=True,
+            embed_rays=ref.helpers.Pluecker(),
+            num_neighbor=V,
+            images=_t(sc["images"][:4]),
+            poses=_t(sc["poses"][:4]),
+            ref_K=_t(K),
+            target_pose=_t(sc["poses"][4]),
+        )
+        loss_t = ((out_t["rgb_map1"] - tgt) ** 2).mean()
+        if a_mmrgb > 0:  # the reference's literal gate (:862-865)
+            loss_t = loss_t + a_mmrgb * (
+                ((out_t["rgb_map0"] - tgt) ** 2).mean()
+                + ((out_t["mm_rgb"] - tgt) ** 2).mean()
+            )
+        loss_t.backward()
+
+    torch_backward(0.0)
+    rg_t = refine_t.fc_output.weight.grad.numpy()  # [35, in]
+    sg_t = sampler_t.fc_output.weight.grad.numpy()  # [27, in]
+    assert np.all(rg_t[4 * S:] == 0.0) and np.abs(rg_t[: 4 * S]).max() > 0
+    assert np.all(sg_t[3 * S:] == 0.0) and np.abs(sg_t[: 3 * S]).max() > 0
+    assert np.abs(refine_t.fc_backbone[0].weight.grad.numpy()).max() > 0
+
+    def cmp(ours_arr, theirs_param, atol):
+        theirs = theirs_param.grad.numpy().T
+        scale = max(np.abs(theirs).max(), 1e-8)
+        np.testing.assert_allclose(
+            np.asarray(ours_arr) / scale, theirs / scale, atol=atol
+        )
+
+    cmp(g0["refine"]["out"]["w"], refine_t.fc_output.weight, 2e-3)
+    cmp(g0["sampler"]["out"]["w"], sampler_t.fc_output.weight, 2e-3)
+    cmp(g0["nerf"]["rgb"]["w"], nerf_t.rgb_linear.weight, 2e-3)
+
+    torch_backward(1e-3)
+    cmp(g1["refine"]["out"]["w"], refine_t.fc_output.weight, 2e-3)
+    cmp(g1["sampler"]["out"]["w"], sampler_t.fc_output.weight, 2e-3)
+    cmp(g1["refine"]["layers"][0]["w"], refine_t.fc_backbone[0].weight, 2e-3)
+
+
 def test_sampler_step_gradients_match_reference(ref):
     """Gradient-topology parity for the stage-1 sampler step: identical
     weights/batch, deterministic eval-style forward, loss = mse(rgb1) +

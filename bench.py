@@ -107,6 +107,20 @@ def run_bench(H=378, W=504, frames_per_loop=6, reps=4, statics_overrides=None,
 
     null = _null_ms()
 
+    # Un-amortized single-dispatch latency: one frame call + host readback,
+    # wall-clock, NO null subtraction — the user-visible first-frame number
+    # on a non-pipelined client. On this tunneled backend it includes the
+    # ~27 ms host round-trip; on local hardware it is the honest per-frame
+    # latency, which the amortized steady-state number below understates.
+    import time as _time
+
+    singles = []
+    for i in range(3):
+        t0 = _time.perf_counter()
+        readback(renderer(params, scene, c2w + 1e-7 * (i + 1))["rgb1"])
+        singles.append((_time.perf_counter() - t0) * 1e3)
+    single_ms = float(np.median(singles))
+
     def frame_step(c):
         o = renderer(params, scene, c2w + 1e-7 * c)
         return c + o["rgb1"][0, 0, 0] * 1e-9
@@ -117,7 +131,7 @@ def run_bench(H=378, W=504, frames_per_loop=6, reps=4, statics_overrides=None,
         for _ in range(reps)
     ]
     ms = float(np.median(samples))
-    return ms, H * W / ms * 1e3, null
+    return ms, H * W / ms * 1e3, null, single_ms
 
 
 def _schedule_steps(sched):
@@ -186,17 +200,18 @@ def _codesign_quality_delta(path=None):
 
 def main():
     H, W = 378, 504
-    ms, rays_per_s, null = run_bench(H, W)
+    ms, rays_per_s, null, single_ms = run_bench(H, W)
     budget_ms = 1000.0 / 30.0  # 30 FPS real-time budget at 504x378
 
     # Second operating point: the reference's full-res engine sizing
     # (1008x756, trt_infer_v2.py:180,344) through the windowed gather.
     full_res = {}
     try:
-        fms, frps, _ = run_bench(756, 1008, frames_per_loop=4, reps=3)
+        fms, frps, _, fsingle = run_bench(756, 1008, frames_per_loop=4, reps=3)
         full_res = {
             "full_res_1008x756_ms": round(fms, 2),
             "full_res_mrays_per_sec": round(frps / 1e6, 2),
+            "full_res_single_dispatch_ms": round(fsingle, 2),
         }
     except Exception as exc:  # full-res must never kill the headline bench
         full_res = {"full_res_error": str(exc)[:160]}
@@ -210,8 +225,8 @@ def main():
     # its measured PSNR delta is attached below when present.
     fast = {}
     try:
-        vms, vrps, _ = run_bench(756, 1008, frames_per_loop=4, reps=3,
-                                 num_neighbor=2)
+        vms, vrps, _, _ = run_bench(756, 1008, frames_per_loop=4, reps=3,
+                                    num_neighbor=2)
         fast = {
             "fast_v2_1008x756_ms": round(vms, 2),
             "fast_v2_mrays_per_sec": round(vrps / 1e6, 2),
@@ -238,6 +253,11 @@ def main():
         "extra": {
             "rays_per_sec": round(rays_per_s),
             "dispatch_null_ms": round(null, 2),
+            "single_dispatch_ms": round(single_ms, 2),
+            "single_dispatch_protocol": "one frame call + host readback, "
+                "wall-clock, median of 3, NO null subtraction — includes "
+                "this backend's ~27 ms tunnel round-trip; the user-visible "
+                "un-pipelined latency",
             "samples_per_ray": 8,
             "warp": "u8-packed corner gather",
             "serving_config": "whole-frame single dispatch + fused "

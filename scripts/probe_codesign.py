@@ -64,7 +64,7 @@ def phase_latency(args):
         for H, W, fpl, reps in ((378, 504, 6, 3), (756, 1008, 4, 3)):
             t0 = time.time()
             try:
-                ms, rps, null = run_bench(
+                ms, rps, null, _single = run_bench(
                     H, W, frames_per_loop=fpl, reps=reps,
                     n_samples=S, num_neighbor=V,
                 )

@@ -23,7 +23,7 @@ if want in ("fern", "all"):
 for name, H, W, fpl, reps in points:
     for label, ov in (("int8", {"quant": "int8"}), ("bf16", None)):
         try:
-            ms, rps, null = run_bench(
+            ms, rps, null, _single = run_bench(
                 H, W, frames_per_loop=fpl, reps=reps, statics_overrides=ov
             )
             print(json.dumps({"point": name, "variant": label,

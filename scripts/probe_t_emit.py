@@ -30,7 +30,7 @@ if want in ("fern", "all"):
 for name, H, W, fpl, reps in points:
     for label, ov in (("t_emit", None), ("row_major", {"gather_transposed": 0})):
         try:
-            ms, rps, null = run_bench(
+            ms, rps, null, _single = run_bench(
                 H, W, frames_per_loop=fpl, reps=reps, statics_overrides=ov
             )
             print(json.dumps({

@@ -49,7 +49,7 @@ def main():
             name = f"tiles{point[0]}_wr{point[1]}"
         t0 = time.time()
         try:
-            ms, rps, null = run_bench(
+            ms, rps, null, _single = run_bench(
                 756, 1008, frames_per_loop=4, reps=3,
                 num_neighbor=2, statics_overrides=overrides,
             )

@@ -12,8 +12,9 @@ reading shifting features and drifts unsupervised, BY CONSTRUCTION of the
 reference's loss.
 
 This probe demonstrates the dynamics end to end through the released CLI
-(CPU, small synthetic scene), three stage-2 arms from one stage-1
-checkpoint:
+(CPU, small synthetic scene — this host has ONE core, so the default
+scale is deliberately tiny; the mechanism is scale-free), three stage-2
+arms from one stage-1 checkpoint:
 
   baseline  --max-steps 1            rgb0 right after bootstrap
   drift     --max-steps N, a_mmrgb 0      release config: rgb0 collapses
@@ -77,9 +78,9 @@ def _psnrs(text):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--spec", default="synthetic:126x94x9")
-    ap.add_argument("--s1", type=int, default=3000)
-    ap.add_argument("--s2", type=int, default=1500)
+    ap.add_argument("--spec", default="synthetic:64x48x9")
+    ap.add_argument("--s1", type=int, default=1200)
+    ap.add_argument("--s2", type=int, default=800)
     ap.add_argument("--out", default=str(OUT_DEFAULT))
     ap.add_argument("--platform", default="cpu",
                     help="cpu keeps this probe off the TPU (attribution "

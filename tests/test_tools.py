@@ -71,6 +71,43 @@ def test_bench_codesign_quality_parser(tmp_path):
     assert bench._codesign_quality_delta(str(tmp_path / "absent.txt")) == {}
 
 
+def test_v2_surgery_roundtrip(tmp_path):
+    """probe_v2_surgery.do_surgery: a V=4 stage-2 checkpoint becomes a
+    V=2 stage-1-layout bootstrap ckpt — plk rows copied, nearest-2 view
+    rows kept and rescaled, trained nerf/sampler carried over — and the
+    result loads through the exact --pretrain-path path and renders."""
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    from scripts.probe_v2_surgery import do_surgery
+
+    from pronerf_tpu.models import init_pronerf_params
+    from pronerf_tpu.train.loop import stage1_restore, stage2_ckpt
+    from pronerf_tpu.train.stage1 import init_stage1_state
+    from pronerf_tpu.train.stage2 import init_stage2_state
+
+    p4 = init_pronerf_params(jax.random.PRNGKey(3), num_neighbor=4)
+    st = init_stage2_state(p4, 0.0)
+    vest = init_pronerf_params(jax.random.PRNGKey(9), num_neighbor=4)["nerf"]
+    save_checkpoint(tmp_path / "000042.ckpt", stage2_ckpt(st, vest))
+
+    dst = tmp_path / "v2.ckpt"
+    do_surgery(tmp_path, dst, 2.0)
+
+    p2 = init_pronerf_params(jax.random.PRNGKey(0), num_neighbor=2)
+    s1 = stage1_restore(dst, init_stage1_state(p2, 0.0))
+    w1 = np.asarray(s1["params"]["refine"]["layers"][0]["w"])
+    w1_src = np.asarray(p4["refine"]["layers"][0]["w"])
+    assert w1.shape == (96, 256)
+    np.testing.assert_allclose(w1[:48], w1_src[:48])
+    np.testing.assert_allclose(w1[48:], 2.0 * w1_src[48:96])
+    np.testing.assert_allclose(
+        np.asarray(s1["params"]["nerf"]["rgb"]["w"]),
+        np.asarray(p4["nerf"]["rgb"]["w"]),
+    )
+
+
 def test_bench_codesign_delta_is_schedule_matched(tmp_path):
     """Round-4 regression: a mixed-schedule probe file must never produce
     a cross-schedule delta. Rows pair by (S, V, schedule); the reported

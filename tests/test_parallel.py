@@ -292,10 +292,13 @@ def test_sharded_frame_renderer_shipped_serving_statics():
     c2w = jnp.asarray(sc["poses"][1])
 
     # Two variants: the shipped auto windowed-gather resolution, and the
-    # window path FORCED on (auto may pick unwindowed at this tiny scale).
+    # window path FORCED on (auto picks unwindowed below the staging
+    # cliff, i.e. at this tiny scale; windowing needs BOTH tiles and a
+    # band height — renderer.resolve_gather_statics sets both at full res).
     variants = [
         ("shipped-auto", statics),
-        ("windowed", dataclasses.replace(statics, gather_tiles=4)),
+        ("windowed", dataclasses.replace(
+            statics, gather_tiles=4, gather_window_rows=8)),
     ]
     for name, st in variants:
         for dtype_try in ("bfloat16", None):

@@ -12,9 +12,9 @@ reading shifting features and drifts unsupervised, BY CONSTRUCTION of the
 reference's loss.
 
 This probe demonstrates the dynamics end to end through the released CLI
-(CPU, small synthetic scene — this host has ONE core, so the default
-scale is deliberately tiny; the mechanism is scale-free), three stage-2
-arms from one stage-1 checkpoint:
+(small synthetic scene — the mechanism is scale-free; runs on the
+attached TPU by default, a few minutes there vs hours on this host's
+single CPU core), three stage-2 arms from one stage-1 checkpoint:
 
   baseline  --max-steps 1            rgb0 right after bootstrap
   drift     --max-steps N, a_mmrgb 0      release config: rgb0 collapses
@@ -82,12 +82,18 @@ def main():
     ap.add_argument("--s1", type=int, default=1200)
     ap.add_argument("--s2", type=int, default=800)
     ap.add_argument("--out", default=str(OUT_DEFAULT))
-    ap.add_argument("--platform", default="cpu",
-                    help="cpu keeps this probe off the TPU (attribution "
-                    "needs dynamics, not device speed)")
+    ap.add_argument("--platform", default=None,
+                    help="JAX_PLATFORMS override for the child CLIs. "
+                    "Stage-1 exploration steps are ~80 GFLOP each at the "
+                    "default scale — hours on this box's ONE cpu core — "
+                    "so the default inherits the env (the TPU when "
+                    "attached); never run concurrently with another TPU "
+                    "process")
     args = ap.parse_args()
 
-    env = dict(os.environ, JAX_PLATFORMS=args.platform)
+    env = dict(os.environ)
+    if args.platform:
+        env["JAX_PLATFORMS"] = args.platform
     base = REPO / "logs_rgb0"
     base.mkdir(exist_ok=True)
     py = [sys.executable, "-m", "pronerf_tpu.cli"]

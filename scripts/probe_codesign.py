@@ -124,12 +124,19 @@ def phase_quality(args):
         tag = f"s{S}v{V}"
         flags = ["--N_samples", str(S), "--num_neighbor", str(V)]
         s1dir = f"{tag}_s1"
+        # --s1-cmd-steps: the MARGINAL step count actually passed to
+        # train-stage1, when it must differ from the nominal --s1 used for
+        # naming/labeling. Needed to keep arms matched after a crash: if
+        # one arm's stage-1 died mid-leg and left a checkpoint, resuming
+        # with the nominal marginal count would overshoot the other arm's
+        # absolute endpoint (max-steps is marginal on resume, see above).
+        s1_cmd = args.s1 if args.s1_cmd_steps is None else args.s1_cmd_steps
         _, t1 = _run_cli(
-            py + ["train-stage1", "--max-steps", str(args.s1),
+            py + ["train-stage1", "--max-steps", str(s1_cmd),
                   "--config", "configs/llff/fern/fern_epi.txt", "--",
                   "--datadir", spec, "--basedir", str(base),
                   "--expname", s1dir, "--scan_steps", "50",
-                  "--i_print", "5000", "--i_weights", str(args.s1),
+                  "--i_print", "5000", "--i_weights", str(s1_cmd),
                   "--i_testset", "0", "--i_video", "0", "--i_img", "0"]
             + flags,
             base / f"{tag}_s1{sfx}.log",
@@ -178,6 +185,10 @@ def main():
     ap.add_argument("--variants", default="8x4,8x2,6x4,6x2,4x2")
     ap.add_argument("--s1", type=int, default=30000)
     ap.add_argument("--s2", type=int, default=15000)
+    ap.add_argument("--s1-cmd-steps", type=int, default=None, dest="s1_cmd_steps",
+                    help="marginal steps actually passed to train-stage1 "
+                         "(naming/labels still use --s1); for matched resume "
+                         "after a crash")
     ap.add_argument("--spec", default="synthetic:504x378x17")
     ap.add_argument("--out", default=str(OUT_DEFAULT))
     args = ap.parse_args()

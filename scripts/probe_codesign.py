@@ -131,12 +131,16 @@ def phase_quality(args):
         # with the nominal marginal count would overshoot the other arm's
         # absolute endpoint (max-steps is marginal on resume, see above).
         s1_cmd = args.s1 if args.s1_cmd_steps is None else args.s1_cmd_steps
+        # Checkpoint cadence: default = only at the end (one ckpt); pass
+        # --i-weights for long legs so a VM recycle mid-stage-1 can resume
+        # with --s1-cmd-steps = remaining instead of restarting from zero.
+        i_w = args.i_weights if args.i_weights else s1_cmd
         _, t1 = _run_cli(
             py + ["train-stage1", "--max-steps", str(s1_cmd),
                   "--config", "configs/llff/fern/fern_epi.txt", "--",
                   "--datadir", spec, "--basedir", str(base),
                   "--expname", s1dir, "--scan_steps", "50",
-                  "--i_print", "5000", "--i_weights", str(s1_cmd),
+                  "--i_print", "5000", "--i_weights", str(i_w),
                   "--i_testset", "0", "--i_video", "0", "--i_img", "0"]
             + flags,
             base / f"{tag}_s1{sfx}.log",
@@ -185,6 +189,8 @@ def main():
     ap.add_argument("--variants", default="8x4,8x2,6x4,6x2,4x2")
     ap.add_argument("--s1", type=int, default=30000)
     ap.add_argument("--s2", type=int, default=15000)
+    ap.add_argument("--i-weights", type=int, default=0, dest="i_weights",
+                    help="stage-1 checkpoint cadence (0 = only at the end)")
     ap.add_argument("--s1-cmd-steps", type=int, default=None, dest="s1_cmd_steps",
                     help="marginal steps actually passed to train-stage1 "
                          "(naming/labels still use --s1); for matched resume "

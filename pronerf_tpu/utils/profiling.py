@@ -137,7 +137,16 @@ def xplane_categories(trace_fn, iters: int = 3, stems=None):
     per_op are ``collections.Counter`` of duration_ns keyed by op category
     / full op name. This is the measurement behind every perf decision in
     DESIGN.md (driven by ``scripts/profile_ops.py`` and
-    ``scripts/profile_train_ops.py``)."""
+    ``scripts/profile_train_ops.py``).
+
+    Control-flow PARENT ops (``while``/``conditional``/``call``) are
+    excluded from the totals and reported under a ``"<cat> (inclusive)"``
+    key instead: the xplane "XLA Ops" line emits the loop op's INCLUSIVE
+    duration alongside its children, so counting both double-counts the
+    body. (Round-5 finding: the train-step profile showed "while: 50%"
+    that exactly equaled the sum of every other category — there was no
+    hidden loop overhead, just the parent event. The honest fern-scale
+    step is ~22 ms device, ~90% MLP fusions at the f32 roofline.)"""
     import collections
     import glob
     import tempfile
@@ -172,8 +181,10 @@ def xplane_categories(trace_fn, iters: int = 3, stems=None):
             return "fusion"
         return head
 
+    control_flow = ("while", "conditional", "call")
     per_op = collections.Counter()
     per_cat = collections.Counter()
+    inclusive = collections.Counter()
     for plane in pd.planes:
         if "TPU" not in plane.name and "tpu" not in plane.name.lower():
             continue
@@ -181,6 +192,12 @@ def xplane_categories(trace_fn, iters: int = 3, stems=None):
             if line.name != "XLA Ops":
                 continue
             for ev in line.events:
+                cat = category(ev.name)
+                if cat in control_flow:
+                    inclusive[f"{cat} (inclusive)"] += ev.duration_ns
+                    continue
                 per_op[ev.name] += ev.duration_ns
-                per_cat[category(ev.name)] += ev.duration_ns
-    return per_cat, per_op, sum(per_op.values())
+                per_cat[cat] += ev.duration_ns
+    total = sum(per_op.values())
+    per_cat.update(inclusive)  # visible, but not in the leaf total
+    return per_cat, per_op, total

@@ -117,6 +117,17 @@ class Config:
                                          # 0 off, 1 force. Row-major graph
                                          # only; `transposed=True` ignores
                                          # this knob
+    train_precision: str = "f32"         # training net matmuls: 'f32'
+                                         # (reference parity, HIGHEST) |
+                                         # 'bf16' (bf16 operands + f32 MXU
+                                         # accumulation through the three
+                                         # nets; params/optimizer/loss stay
+                                         # f32). Opt-in throughput lever:
+                                         # the train step is HBM-bound on
+                                         # f32 activation streams
+                                         # (profile_train_ops, r5), and the
+                                         # serving path already validates
+                                         # bf16 forward numerics
     explore_buckets: bool = False        # stage-1 NeRF step: lax.switch
                                          # over power-of-two exploration
                                          # widths instead of one masked
@@ -234,6 +245,11 @@ def enforce_flag_contract(cfg: "Config") -> list:
         raise NotImplementedError(
             "render_only: use the dedicated verbs instead — "
             "`infer` / `eval` (test views) or `render-path` (spiral video)"
+        )
+    if cfg.train_precision not in ("f32", "bf16"):
+        raise ValueError(
+            f"train_precision must be 'f32' or 'bf16', got "
+            f"{cfg.train_precision!r}"
         )
     defaults = Config()
     notes = []

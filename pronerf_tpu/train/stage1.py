@@ -54,6 +54,10 @@ def build_stage1_step_fns(cfg, H: int, W: int, focal: float):
     wrapper above and the sharded wrapper in
     ``pronerf_tpu.parallel.data_parallel``."""
     tx = make_tx(cfg.weight_decay)
+    # Opt-in bf16 train compute (params/grads/optimizer stay f32): the step
+    # is HBM-bound on f32 activation streams — see Config.train_precision.
+    cdt = "bfloat16" if getattr(cfg, "train_precision", "f32") == "bf16" \
+        else None
     statics_nerf = RenderStatics.stage1_nerf(
         noise_std=cfg.raw_noise_std,
         N_samples=cfg.N_samples,
@@ -64,6 +68,7 @@ def build_stage1_step_fns(cfg, H: int, W: int, focal: float):
         white_bkgd=cfg.white_bkgd,
         netarch=cfg.netarch,
         train_gather=cfg.train_gather,
+        compute_dtype=cdt,
     )
     statics_sampler = RenderStatics.stage1_sampler(
         N_samples=cfg.N_samples,
@@ -74,6 +79,7 @@ def build_stage1_step_fns(cfg, H: int, W: int, focal: float):
         white_bkgd=cfg.white_bkgd,
         netarch=cfg.netarch,
         train_gather=cfg.train_gather,
+        compute_dtype=cdt,
     )
 
     # Bucketed exploration (``Config.explore_buckets``): the static-64

@@ -53,6 +53,9 @@ def build_stage2_step_fn(cfg, H: int, W: int, focal: float):
         white_bkgd=cfg.white_bkgd,
         netarch=cfg.netarch,
         train_gather=cfg.train_gather,
+        # Opt-in bf16 train compute (see Config.train_precision).
+        compute_dtype="bfloat16"
+        if getattr(cfg, "train_precision", "f32") == "bf16" else None,
     )
     a_mmrgb = float(cfg.a_mmrgb)
 

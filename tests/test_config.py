@@ -98,7 +98,7 @@ def test_flag_contract_is_total():
         "netarch", "use_pallas", "scan_steps", "warp_interp",
         "compute_dtype", "tile_rays", "gather_tiles", "train_gather",
         "gather_bf16", "gather_split", "gather_transposed", "transposed",
-        "explore_buckets", "quant", "seed",
+        "explore_buckets", "quant", "seed", "train_precision",
     }
     REJECTED = {"no_ndc", "no_batching", "full_image", "epi_nerf",
                 "i_embed", "render_only"}

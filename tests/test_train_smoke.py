@@ -160,6 +160,61 @@ def test_scan_executor_runs_and_advances():
     assert int(state["global_step"]) == 8
 
 
+def test_train_precision_bf16_matches_f32_closely():
+    """``train_precision=bf16`` (opt-in throughput lever: the train step
+    is HBM-bound on f32 activation streams) must run both stages through
+    the scan executor with finite losses CLOSE to the f32 parity path,
+    while params/optimizer state stay f32 (bf16 only on the net compute:
+    bf16 operands, f32 MXU accumulation — models/mlp.py:linear)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pronerf_tpu.config import Config
+    from pronerf_tpu.models import init_pronerf_params
+    from pronerf_tpu.render import prepare_scene
+    from pronerf_tpu.render.raygen import build_ray_pool
+    from pronerf_tpu.train import init_stage1_state
+    from pronerf_tpu.train.fast_loop import make_scan_executor
+    from pronerf_tpu.train.stage2 import init_stage2_state
+    from pronerf_tpu.utils.synthetic import make_scene
+
+    sc = make_scene(n_views=6, H=20, W=24, seed=0)
+    H, W, focal = sc["hwf"]
+    scene = prepare_scene(sc["images"], sc["poses"], sc["K"])
+    rng = np.random.default_rng(0)
+    pool, ids = build_ray_pool(
+        sc["images"], sc["poses"], sc["K"], list(range(6)), 4, rng
+    )
+
+    def run(tp, stage):
+        cfg = Config.from_file(
+            "configs/llff/fern/fern_epi.txt", train_precision=tp, N_rand=128
+        )
+        params = init_pronerf_params(jax.random.PRNGKey(0), mmnetdepth=6)
+        init = init_stage1_state if stage == 1 else init_stage2_state
+        state = init(params)
+        ex = make_scan_executor(cfg, H, W, focal, n_train=6, stage=stage,
+                                scan_steps=4)
+        state, m = ex(state, scene, jnp.asarray(pool), jnp.asarray(ids), 0,
+                      jax.random.PRNGKey(7))
+        return float(m["mean_loss"]), state
+
+    for stage in (1, 2):
+        loss_f32, _ = run("f32", stage)
+        loss_bf16, st = run("bf16", stage)
+        assert np.isfinite(loss_bf16)
+        assert abs(loss_bf16 - loss_f32) <= 0.05 * max(abs(loss_f32), 1e-6)
+        w = st["params"]["nerf"]["pts"][0]["w"]
+        assert w.dtype == jnp.float32
+
+    with pytest.raises(ValueError):
+        from pronerf_tpu.config import enforce_flag_contract
+        enforce_flag_contract(
+            Config.from_file("configs/llff/fern/fern_epi.txt",
+                             train_precision="fp8")
+        )
+
+
 def test_device_reshuffle_is_aligned_permutation():
     """The between-chunk pool reshuffle runs ON DEVICE (no ~129 MB host
     re-upload per pool epoch at fern scale): it must be a true permutation

@@ -187,7 +187,7 @@ def _codesign_quality_delta(path=None):
         return {}
     matched.sort()
     _, sched, delta = matched[-1]
-    return {
+    out = {
         "fast_v2_psnr_delta_db": delta,
         "fast_v2_quality_protocol": "matched %s-step schedule A/B, "
         "synthetic fern-scale scene (schedule-matched pairing; flags are "
@@ -196,6 +196,27 @@ def _codesign_quality_delta(path=None):
         "fast_v2_delta_trend_db": {
             s: d for _, s, d in matched},
     }
+    # Ceiling context (round 5): V=2 derived by surgery from the
+    # full-schedule V=4 teacher lands on the same PSNR as from-scratch
+    # training — the delta is an information limit, not a budget artifact
+    # (results/probes_r5_surgery.txt, DESIGN.md surgery section).
+    surgery = os.path.join(os.path.dirname(path), "probes_r5_surgery.txt")
+    try:
+        with open(surgery) as f:
+            for line in f:
+                try:
+                    r = json.loads(line)
+                except ValueError:
+                    continue
+                if r.get("phase") == "surgery_v2" and r.get("psnr_rgb1"):
+                    out["fast_v2_surgery_psnr_db"] = round(r["psnr_rgb1"], 2)
+                    out["fast_v2_surgery_protocol"] = (
+                        "V=4 full-schedule teacher -> refine first-layer "
+                        "surgery -> %dk stage-2 fine-tune at V=2"
+                        % (r["finetune_steps"] // 1000))
+    except OSError:
+        pass
+    return out
 
 
 def main():

@@ -208,7 +208,8 @@ def _codesign_quality_delta(path=None):
                     r = json.loads(line)
                 except ValueError:
                     continue
-                if r.get("phase") == "surgery_v2" and r.get("psnr_rgb1"):
+                if (r.get("phase") == "surgery_v2" and r.get("psnr_rgb1")
+                        and r.get("views", 2) == 2):
                     out["fast_v2_surgery_psnr_db"] = round(r["psnr_rgb1"], 2)
                     out["fast_v2_surgery_protocol"] = (
                         "V=4 full-schedule teacher -> refine first-layer "

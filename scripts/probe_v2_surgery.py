@@ -55,7 +55,7 @@ def emit(out_path, obj):
         f.write(line + "\n")
 
 
-def do_surgery(src, dst, scale: float):
+def do_surgery(src, dst, scale: float, views: int = 2):
     import jax
 
     from pronerf_tpu.models import init_pronerf_params
@@ -78,12 +78,15 @@ def do_surgery(src, dst, scale: float):
     w1 = np.asarray(refine4["layers"][0]["w"])  # [48 + 3*4*S, 256]
     assert w1.shape[0] == 6 * S + 3 * 4 * S, w1.shape
     plk_rows = w1[: 6 * S]
-    # vsc layout: per-view blocks of S*3 rows, nearest views first
-    epi01 = w1[6 * S: 6 * S + 2 * (3 * S)]
-    w1_v2 = np.concatenate([plk_rows, scale * epi01], axis=0)
+    # vsc layout: per-view blocks of S*3 rows, nearest views first; a
+    # V<4 model's views are a prefix of the teacher's 4
+    epi = w1[6 * S: 6 * S + views * (3 * S)]
+    w1_v2 = np.concatenate([plk_rows, scale * epi], axis=0)
 
-    # template with V=2 shapes; overwrite every net with the trained ones
-    params = init_pronerf_params(jax.random.PRNGKey(0), num_neighbor=2)
+    # template with V=views shapes; overwrite every net with the trained
+    # ones
+    params = init_pronerf_params(jax.random.PRNGKey(0),
+                                 num_neighbor=views)
     params["nerf"] = jax.tree_util.tree_map(np.asarray, nerf)
     params["sampler"] = jax.tree_util.tree_map(np.asarray, sampler)
     refine2 = jax.tree_util.tree_map(np.asarray, refine4)
@@ -128,19 +131,26 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="logs_codesign/s8v4_s2_120000p60000")
     ap.add_argument("--steps", type=int, default=15000)
-    ap.add_argument("--scale", type=float, default=2.0)
+    ap.add_argument("--scale", type=float, default=None,
+                    help="epipolar first-layer rescale; default 4/views")
+    ap.add_argument("--views", type=int, default=2,
+                    help="target num_neighbor (< 4); 2 = the fast point, "
+                    "3 = the intermediate latency/quality trade")
     ap.add_argument("--spec", default="synthetic:504x378x17")
     ap.add_argument("--out", default=str(OUT_DEFAULT))
     args = ap.parse_args()
+    if args.scale is None:
+        args.scale = 4.0 / args.views
 
     base = REPO / "logs_codesign"
-    tag = f"surgery_v2_sc{args.scale:g}"
+    tag = (f"surgery_v2_sc{args.scale:g}" if args.views == 2
+           else f"surgery_v{args.views}_sc{args.scale:g}")
     ck = base / f"{tag}.ckpt"
     if not ck.exists():
-        do_surgery(REPO / args.src, ck, args.scale)
+        do_surgery(REPO / args.src, ck, args.scale, args.views)
 
     py = [sys.executable, "-m", "pronerf_tpu.cli"]
-    flags = ["--N_samples", str(S), "--num_neighbor", "2"]
+    flags = ["--N_samples", str(S), "--num_neighbor", str(args.views)]
     _, t_ft = _run_cli(
         py + ["train-stage2", "--max-steps", str(args.steps),
               "--config", "configs/llff/fern/fern_refine.txt",
@@ -160,7 +170,7 @@ def main():
         base / f"{tag}_eval.log",
     )
     emit(args.out, {
-        "phase": "surgery_v2", "scale": args.scale,
+        "phase": "surgery_v2", "views": args.views, "scale": args.scale,
         "finetune_steps": args.steps, "src": args.src,
         "psnr_rgb1": _grep(text, r"Mean Test PSNR ([0-9.]+)"),
         "ssim": _grep(text, r"Mean Test SSIM ([0-9.]+)"),

@@ -107,6 +107,17 @@ def test_v2_surgery_roundtrip(tmp_path):
         np.asarray(p4["nerf"]["rgb"]["w"]),
     )
 
+    # generalized target width: V=3 keeps the nearest-3 prefix
+    dst3 = tmp_path / "v3.ckpt"
+    do_surgery(tmp_path, dst3, 4.0 / 3, views=3)
+    p3 = init_pronerf_params(jax.random.PRNGKey(0), num_neighbor=3)
+    s3 = stage1_restore(dst3, init_stage1_state(p3, 0.0))
+    w13 = np.asarray(s3["params"]["refine"]["layers"][0]["w"])
+    assert w13.shape == (48 + 72, 256)
+    np.testing.assert_allclose(w13[:48], w1_src[:48])
+    np.testing.assert_allclose(w13[48:], (4.0 / 3) * w1_src[48:120],
+                               rtol=1e-6)
+
 
 def test_bench_codesign_delta_is_schedule_matched(tmp_path):
     """Round-4 regression: a mixed-schedule probe file must never produce

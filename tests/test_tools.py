@@ -109,7 +109,8 @@ def test_v2_surgery_roundtrip(tmp_path):
 
     # generalized target width: V=3 keeps the nearest-3 prefix
     dst3 = tmp_path / "v3.ckpt"
-    do_surgery(tmp_path, dst3, 4.0 / 3, views=3)
+    # explicit source file: the dir's "latest" is now the v2 result
+    do_surgery(tmp_path / "000042.ckpt", dst3, 4.0 / 3, views=3)
     p3 = init_pronerf_params(jax.random.PRNGKey(0), num_neighbor=3)
     s3 = stage1_restore(dst3, init_stage1_state(p3, 0.0))
     w13 = np.asarray(s3["params"]["refine"]["layers"][0]["w"])

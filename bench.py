@@ -217,6 +217,18 @@ def _codesign_quality_delta(path=None):
                         % (r["finetune_steps"] // 1000))
     except OSError:
         pass
+    # Full-schedule-regime delta: the V=2 ceiling vs the committed
+    # 500k+370k soak teacher, same scene/eval protocol — the honest
+    # long-schedule quality price of the fast point.
+    soak = os.path.join(os.path.dirname(path), "soak", "final_eval.txt")
+    try:
+        import re
+        m = re.search(r"Mean Test PSNR ([0-9.]+)", open(soak).read())
+        if m and "fast_v2_surgery_psnr_db" in out:
+            out["fast_v2_vs_full_schedule_delta_db"] = round(
+                out["fast_v2_surgery_psnr_db"] - float(m.group(1)), 2)
+    except OSError:
+        pass
     return out
 
 

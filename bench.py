@@ -187,19 +187,24 @@ def _codesign_quality_delta(path=None):
         return {}
     matched.sort()
     _, sched, delta = matched[-1]
+    deltas = [d for _, _, d in matched]
     out = {
         "fast_v2_psnr_delta_db": delta,
         "fast_v2_quality_protocol": "matched %s-step schedule A/B, "
         "synthetic fern-scale scene (schedule-matched pairing; flags are "
         "marginal on resume — see results/probes_r4_codesign.txt + "
-        "DESIGN.md trend table for absolute steps)" % sched,
+        "DESIGN.md trend table for absolute steps). The trend is "
+        "NON-MONOTONIC: past ~90k stage-1 steps the proxy scene stops "
+        "resolving the V axis (control overfits), so quote the range, "
+        "not one point" % sched,
         "fast_v2_delta_trend_db": {
             s: d for _, s, d in matched},
+        "fast_v2_delta_range_db": [min(deltas), max(deltas)],
     }
-    # Ceiling context (round 5): V=2 derived by surgery from the
-    # full-schedule V=4 teacher lands on the same PSNR as from-scratch
-    # training — the delta is an information limit, not a budget artifact
-    # (results/probes_r5_surgery.txt, DESIGN.md surgery section).
+    # Surgery bootstrap context (round 5): V=2 derived from the
+    # full-schedule V=4 teacher + a SHORT fine-tune — a cheap derivation
+    # path, NOT the V=2 optimum (the 210k from-scratch arm measured
+    # higher; results/probes_r5_surgery.txt, DESIGN.md surgery section).
     surgery = os.path.join(os.path.dirname(path), "probes_r5_surgery.txt")
     try:
         with open(surgery) as f:
@@ -213,20 +218,9 @@ def _codesign_quality_delta(path=None):
                     out["fast_v2_surgery_psnr_db"] = round(r["psnr_rgb1"], 2)
                     out["fast_v2_surgery_protocol"] = (
                         "V=4 full-schedule teacher -> refine first-layer "
-                        "surgery -> %dk stage-2 fine-tune at V=2"
+                        "surgery -> %dk stage-2 fine-tune at V=2; a cheap "
+                        "bootstrap of the fast point, not its optimum"
                         % (r["finetune_steps"] // 1000))
-    except OSError:
-        pass
-    # Full-schedule-regime delta: the V=2 ceiling vs the committed
-    # 500k+370k soak teacher, same scene/eval protocol — the honest
-    # long-schedule quality price of the fast point.
-    soak = os.path.join(os.path.dirname(path), "soak", "final_eval.txt")
-    try:
-        import re
-        m = re.search(r"Mean Test PSNR ([0-9.]+)", open(soak).read())
-        if m and "fast_v2_surgery_psnr_db" in out:
-            out["fast_v2_vs_full_schedule_delta_db"] = round(
-                out["fast_v2_surgery_psnr_db"] - float(m.group(1)), 2)
     except OSError:
         pass
     return out

@@ -48,6 +48,36 @@ def _shardings(mesh: Mesh):
     return scene_first, scene_rays
 
 
+def _scene_mapper(step_scene, mesh: Mesh):
+    """How the per-scene step spans the stacked scene axis.
+
+    Partitioned scene axis (real multi-chip mesh): ``jax.vmap`` — each
+    device holds its scenes' activations, zero cross-scene comms.
+
+    UNpartitioned scene axis (the single-chip degradation): ``lax.map`` —
+    time-multiplex scenes inside the dispatch so activation temps are
+    reused scene-to-scene. vmap here materializes every scene's
+    exploration activations at once and OOMs at fern scale (round-5
+    multi-soak: 8 scenes x [4096, 64, 256] f32 asked 16.6 GB of the
+    15.75 GB HBM). Same math, same per-scene RNG folding — only the
+    schedule differs.
+    """
+    if mesh.shape["scene"] == 1:
+        def vstep(states, scenes, batch, ids, idxs, controls, lr):
+            return jax.lax.map(
+                lambda a: step_scene(*a, controls, lr),
+                (states, scenes, batch, ids, idxs),
+            )
+
+        return vstep
+    vmapped = jax.vmap(step_scene, in_axes=(0, 0, 0, 0, 0, None, None))
+
+    def vstep(states, scenes, batch, ids, idxs, controls, lr):
+        return vmapped(states, scenes, batch, ids, idxs, controls, lr)
+
+    return vstep
+
+
 def make_multi_scene_step(cfg, H: int, W: int, focal: float, mesh: Mesh,
                           stage: int = 1, branch: str = "nerf"):
     """Jitted (states, scenes, batches, ids, controls, lr) -> (states,
@@ -68,7 +98,7 @@ def make_multi_scene_step(cfg, H: int, W: int, focal: float, mesh: Mesh,
         )
         return step_fn(state, scene, batch, ids, controls, lr)
 
-    vstep = jax.vmap(step_scene, in_axes=(0, 0, 0, 0, 0, None, None))
+    vstep = _scene_mapper(step_scene, mesh)
 
     def stepped(states, scenes, batch, ids, controls, lr):
         idxs = jax.numpy.arange(batch.shape[0], dtype=jax.numpy.int32)
@@ -132,7 +162,7 @@ def make_multi_scene_pooled_step(cfg, H: int, W: int, focal: float,
         )
         return step_fn(state, scene, batch, ids, controls, lr)
 
-    vstep = jax.vmap(step_scene, in_axes=(0, 0, 0, 0, 0, None, None))
+    vstep = _scene_mapper(step_scene, mesh)
 
     def stepped(states, scenes, pools, pool_ids, i_batch, controls, lr):
         batch = jax.lax.dynamic_slice_in_dim(pools, i_batch, n_rand, axis=1)

@@ -140,6 +140,56 @@ def test_multi_scene_training_step():
     assert int(np.asarray(states_s["global_step"])[0]) == 1
 
 
+def test_multi_scene_sequential_matches_vmap():
+    """On a SINGLE-device scene axis the step time-multiplexes scenes via
+    ``lax.map`` (vmap materializes every scene's exploration activations
+    at once and OOM'd at fern scale — round-5 multi-soak). The sequential
+    schedule must train bit-identically to the partitioned vmap path."""
+    from pronerf_tpu.parallel.multi_scene import (
+        make_multi_scene_step,
+        make_scene_mesh,
+        place_scene_batch,
+        stack_scenes,
+    )
+    from pronerf_tpu.train import init_stage1_state
+
+    cfg, _, _, _, _, _, controls = _setup()
+    n_scene, n_rand = 2, 64
+    scenes, states, batches, idss = [], [], [], []
+    H = W = focal = None
+    for s in range(n_scene):
+        sc = make_scene(n_views=6, H=20, W=24, seed=s)
+        H, W, focal = sc["hwf"]
+        scenes.append(prepare_scene(sc["images"], sc["poses"], sc["K"]))
+        params = init_pronerf_params(jax.random.PRNGKey(s), mmnetdepth=6)
+        states.append(init_stage1_state(params))
+        rng = np.random.default_rng(s)
+        pool, ids = build_ray_pool(
+            sc["images"], sc["poses"], sc["K"], list(range(6)), 4, rng
+        )
+        batches.append(pool[:n_rand])
+        idss.append(ids[:n_rand])
+
+    outs = {}
+    for label, mesh in (
+        ("vmap", make_scene_mesh(n_scene, 1)),       # scene axis = 2
+        ("seq", make_scene_mesh(1, 1)),              # scene axis = 1
+    ):
+        states_s = stack_scenes(states)
+        scenes_s = stack_scenes(scenes)
+        batch = jnp.asarray(np.stack(batches))
+        ids = jnp.asarray(np.stack(idss))
+        batch, ids = place_scene_batch(mesh, batch, ids)
+        step = make_multi_scene_step(cfg, H, W, focal, mesh, 1, "nerf")
+        st, metrics = step(states_s, scenes_s, batch, ids, controls, 5e-4)
+        outs[label] = (st, np.asarray(metrics["loss"]))
+
+    np.testing.assert_allclose(outs["seq"][1], outs["vmap"][1], rtol=1e-6)
+    w_seq = np.asarray(outs["seq"][0]["params"]["nerf"]["pts"][0]["w"])
+    w_v = np.asarray(outs["vmap"][0]["params"]["nerf"]["pts"][0]["w"])
+    np.testing.assert_allclose(w_seq, w_v, atol=2e-6)
+
+
 def test_multi_scene_pooled_step_matches_batch_step():
     """The device-resident-pool step (what train-multi drives) must train
     exactly like the batch-shipping step on the same slice, and the

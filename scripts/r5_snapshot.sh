@@ -20,6 +20,7 @@ while true; do
     fi
     git add results/probes_r5_rgb0.txt results/probes_r5_surgery.txt \
         results/probes_r5_hbm.txt results/probes_r4_codesign.txt \
+        results/probes_r5_bf16_train.txt \
         results/codesign results/soak/multi 2>/dev/null
     if ! git diff --cached --quiet 2>/dev/null; then
         git commit -q -m "Round-5 probe evidence snapshot" || true

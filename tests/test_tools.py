@@ -152,3 +152,44 @@ def test_bench_codesign_delta_is_schedule_matched(tmp_path):
     assert "60000+30000" in out["fast_v2_quality_protocol"]
     assert out["fast_v2_delta_trend_db"] == {
         "30000+15000": -1.25, "60000+30000": -2.02}
+
+
+def test_bench_v_curve_summary(tmp_path):
+    """bench._v_curve_summary assembles the per-V operating-point table
+    from committed probe rows: newest full-res latency per V, scratch
+    quality at the LONGEST schedule probed, surgery quality where present
+    (keyed by 'views', defaulting to 2 for the original V=2 row)."""
+    import bench
+
+    p = tmp_path / "probe.txt"
+    p.write_text(
+        '{"phase": "latency", "S": 8, "V": 4, "res": "1008x756",'
+        ' "ms": 140.0, "mrays_per_sec": 5.4}\n'
+        '{"phase": "latency", "S": 8, "V": 4, "res": "1008x756",'
+        ' "ms": 134.5, "mrays_per_sec": 5.67}\n'  # newer row wins
+        '{"phase": "latency", "S": 8, "V": 2, "res": "504x378",'
+        ' "ms": 21.6, "mrays_per_sec": 8.8}\n'  # wrong res: ignored
+        '{"phase": "latency", "S": 6, "V": 2, "res": "1008x756",'
+        ' "ms": 91.9, "mrays_per_sec": 8.3}\n'  # S!=8: ignored
+        '{"phase": "latency", "S": 8, "V": 1, "res": "1008x756",'
+        ' "ms": 80.1, "mrays_per_sec": 9.51}\n'
+        '{"phase": "quality", "S": 8, "V": 4, "schedule": "30000+15000",'
+        ' "psnr_rgb1": 35.91}\n'
+        '{"phase": "quality", "S": 8, "V": 4, "schedule": "120000+60000",'
+        ' "psnr_rgb1": 35.28}\n'
+    )
+    (tmp_path / "probes_r5_surgery.txt").write_text(
+        '{"phase": "surgery_v2", "scale": 4.0, "views": 1,'
+        ' "psnr_rgb1": 35.316}\n'
+        '{"phase": "surgery_v2", "scale": 2.0, "psnr_rgb1": 34.39}\n'
+    )
+    out = bench._v_curve_summary(str(p))
+    curve = out["v_curve_1008x756"]
+    assert set(curve) == {"1", "4"}
+    assert curve["4"]["full_res_ms"] == 134.5  # the newest row
+    assert curve["4"]["scratch_psnr_db"] == 35.28  # longest schedule
+    assert curve["4"]["scratch_schedule"] == "120000+60000"
+    assert curve["1"]["surgery_psnr_db"] == 35.32
+    assert "scratch_psnr_db" not in curve["1"]
+    # no latency artifact -> no v_curve fields at all
+    assert bench._v_curve_summary(str(tmp_path / "absent.txt")) == {}

@@ -181,23 +181,38 @@ def xplane_categories(trace_fn, iters: int = 3, stems=None):
             return "fusion"
         return head
 
+    def events():
+        for plane in pd.planes:
+            if "TPU" not in plane.name and "tpu" not in plane.name.lower():
+                continue
+            for line in plane.lines:
+                if line.name != "XLA Ops":
+                    continue
+                for ev in line.events:
+                    yield ev.name, ev.duration_ns
+
+    return aggregate_xplane_events(events(), category)
+
+
+def aggregate_xplane_events(events, category):
+    """Aggregate ``(op_name, duration_ns)`` pairs into
+    ``(per_cat, per_op, total_ns)``. Control-flow PARENT ops are routed to
+    a ``"<cat> (inclusive)"`` key and excluded from ``total_ns`` and the
+    leaf categories (see ``xplane_categories`` docstring for why). Pure —
+    unit-tested in tests/test_tools.py without a real trace."""
+    import collections
+
     control_flow = ("while", "conditional", "call")
     per_op = collections.Counter()
     per_cat = collections.Counter()
     inclusive = collections.Counter()
-    for plane in pd.planes:
-        if "TPU" not in plane.name and "tpu" not in plane.name.lower():
+    for name, duration_ns in events:
+        cat = category(name)
+        if cat in control_flow:
+            inclusive[f"{cat} (inclusive)"] += duration_ns
             continue
-        for line in plane.lines:
-            if line.name != "XLA Ops":
-                continue
-            for ev in line.events:
-                cat = category(ev.name)
-                if cat in control_flow:
-                    inclusive[f"{cat} (inclusive)"] += ev.duration_ns
-                    continue
-                per_op[ev.name] += ev.duration_ns
-                per_cat[cat] += ev.duration_ns
+        per_op[name] += duration_ns
+        per_cat[cat] += duration_ns
     total = sum(per_op.values())
     per_cat.update(inclusive)  # visible, but not in the leaf total
     return per_cat, per_op, total

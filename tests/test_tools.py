@@ -193,3 +193,39 @@ def test_bench_v_curve_summary(tmp_path):
     assert "scratch_psnr_db" not in curve["1"]
     # no latency artifact -> no v_curve fields at all
     assert bench._v_curve_summary(str(tmp_path / "absent.txt")) == {}
+
+
+def test_xplane_aggregation_excludes_control_flow_parents():
+    """The xplane "XLA Ops" line emits while/conditional/call parents'
+    INCLUSIVE durations alongside their children; counting both
+    double-counts the loop body (the round-5 "while: 50%" artifact).
+    Parents must be visible under "<cat> (inclusive)" but excluded from
+    total_ns and the leaf categories."""
+    from pronerf_tpu.utils.profiling import aggregate_xplane_events
+
+    def category(name):
+        head = name.lstrip("%").split(" ")[0].split(".")[0]
+        for stem in ("fused_nerf", "while", "conditional", "call", "copy"):
+            if head.startswith(stem):
+                return stem
+        return "fusion" if "fusion" in head else head
+
+    events = [
+        ("%fused_nerf.1", 700),
+        ("%copy.3", 200),
+        ("%loop_body_fusion.2", 100),
+        ("%while.1", 1000),        # inclusive parent == sum of children
+        ("%conditional.7", 50),
+        ("%call.2", 25),
+    ]
+    per_cat, per_op, total = aggregate_xplane_events(events, category)
+    assert total == 1000  # leaves only; parents never double-count
+    assert per_cat["fused_nerf"] == 700
+    assert per_cat["copy"] == 200
+    assert per_cat["fusion"] == 100
+    # parents stay visible, under the explicit inclusive key
+    assert per_cat["while (inclusive)"] == 1000
+    assert per_cat["conditional (inclusive)"] == 50
+    assert per_cat["call (inclusive)"] == 25
+    assert "while" not in per_cat and "call" not in per_cat
+    assert "%while.1" not in per_op

@@ -190,6 +190,62 @@ def test_multi_scene_sequential_matches_vmap():
     np.testing.assert_allclose(w_seq, w_v, atol=2e-6)
 
 
+def test_multi_scene_sequential_matches_vmap_stage2():
+    """Stage-2 twin of the test above: `train-multi --stage 2` on one chip
+    takes the lax.map schedule, and its JOINT step (one Adam over all
+    three nets) must match the partitioned vmap path bit-for-bit too.
+    (Round 5: the 8-scene fern-scale stage-2 soak NaN'd at iter 500 on
+    2/8 scenes; this pins down whether the sequential schedule itself
+    diverges from the reference-parity math.)"""
+    from pronerf_tpu.parallel.multi_scene import (
+        make_multi_scene_step,
+        make_scene_mesh,
+        place_scene_batch,
+        stack_scenes,
+    )
+
+    cfg, _, _, _, _, _, controls = _setup()
+    n_scene, n_rand = 2, 64
+    scenes, states, batches, idss = [], [], [], []
+    H = W = focal = None
+    for s in range(n_scene):
+        sc = make_scene(n_views=6, H=20, W=24, seed=s)
+        H, W, focal = sc["hwf"]
+        scenes.append(prepare_scene(sc["images"], sc["poses"], sc["K"]))
+        params = init_pronerf_params(jax.random.PRNGKey(s), mmnetdepth=6)
+        states.append(init_stage2_state(params))
+        rng = np.random.default_rng(s)
+        pool, ids = build_ray_pool(
+            sc["images"], sc["poses"], sc["K"], list(range(6)), 4, rng
+        )
+        batches.append(pool[:n_rand])
+        idss.append(ids[:n_rand])
+
+    outs = {}
+    for label, mesh in (
+        ("vmap", make_scene_mesh(n_scene, 1)),       # scene axis = 2
+        ("seq", make_scene_mesh(1, 1)),              # scene axis = 1
+    ):
+        states_s = stack_scenes(states)
+        scenes_s = stack_scenes(scenes)
+        batch = jnp.asarray(np.stack(batches))
+        ids = jnp.asarray(np.stack(idss))
+        batch, ids = place_scene_batch(mesh, batch, ids)
+        step = make_multi_scene_step(cfg, H, W, focal, mesh, 2)
+        st, metrics = step(states_s, scenes_s, batch, ids, controls, 3e-4)
+        outs[label] = (st, np.asarray(metrics["loss"]))
+
+    assert np.all(np.isfinite(outs["seq"][1]))
+    np.testing.assert_allclose(outs["seq"][1], outs["vmap"][1], rtol=1e-6)
+    for net in ("nerf", "sampler", "refine"):
+        leaves_s = jax.tree_util.tree_leaves(outs["seq"][0]["params"][net])
+        leaves_v = jax.tree_util.tree_leaves(outs["vmap"][0]["params"][net])
+        for a, b in zip(leaves_s, leaves_v):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-6
+            )
+
+
 def test_multi_scene_pooled_step_matches_batch_step():
     """The device-resident-pool step (what train-multi drives) must train
     exactly like the batch-shipping step on the same slice, and the

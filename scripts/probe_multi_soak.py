@@ -44,9 +44,13 @@ def _run_cli(cmd, log_path):
         return log_path.read_text(), float(ok.read_text() or 0)
     print(f"[MULTISOAK] $ {' '.join(cmd)}", flush=True)
     t0 = time.time()
-    proc = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
-    text = proc.stdout + proc.stderr
-    log_path.write_text(text)
+    # Stream to the log file as the stage runs so the evidence snapshotter
+    # can commit in-flight curves (a VM recycle mid-stage keeps progress).
+    with log_path.open("w") as fh:
+        proc = subprocess.run(
+            cmd, cwd=REPO, stdout=fh, stderr=subprocess.STDOUT, text=True
+        )
+    text = log_path.read_text()
     dt = time.time() - t0
     if proc.returncode != 0:
         print(text[-3000:])

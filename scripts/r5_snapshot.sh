@@ -18,6 +18,13 @@ while true; do
             echo "${new##*/}" > results/codesign/s8v2_s1_latest.step
         fi
     fi
+    # In-flight multi-soak stage logs (streamed by probe_multi_soak).
+    if [ -d logs_multisoak ]; then
+        mkdir -p results/soak/multi/inflight
+        for f in logs_multisoak/s1.log logs_multisoak/s2.log; do
+            [ -f "$f" ] && cp "$f" results/soak/multi/inflight/
+        done
+    fi
     git add results/probes_r5_rgb0.txt results/probes_r5_surgery.txt \
         results/probes_r5_hbm.txt results/probes_r4_codesign.txt \
         results/probes_r5_bf16_train.txt \
